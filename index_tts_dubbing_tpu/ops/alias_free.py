@@ -1,0 +1,149 @@
+"""Anti-aliased activation ops (BigVGAN's alias-free snake path).
+
+Behavioural spec: the reference's torch path
+(BigVGAN/alias_free_torch/{filter,resample,act}.py) and fused CUDA kernel
+(alias_free_activation/cuda/anti_alias_activation_cuda.cu:44-181):
+  replicate-pad → ×2 upsample 12-tap kaiser-sinc FIR → snake(beta) →
+  replicate-pad → 12-tap low-pass FIR → ×2 downsample.
+
+TPU design (this file = XLA path; ops/pallas_snake.py = fused Pallas kernel):
+channels-last (B, T, C) activations; the FIR is a depthwise conv expressed via
+``lax.conv_general_dilated`` with ``lhs_dilation`` for the upsample (negative
+padding folds the reference's output crop into the conv — no separate slice).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def kaiser_beta(A: float) -> float:
+    if A > 50.0:
+        return 0.1102 * (A - 8.7)
+    if A >= 21.0:
+        return 0.5842 * (A - 21.0) ** 0.4 + 0.07886 * (A - 21.0)
+    return 0.0
+
+
+def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> np.ndarray:
+    """Kaiser-windowed sinc low-pass, normalised to sum 1. Matches
+    alias_free_torch/filter.py:29-58 (even kernel, half-sample offsets)."""
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    delta_f = 4.0 * half_width
+    A = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    beta = kaiser_beta(A)
+    window = np.kaiser(kernel_size, beta)
+    if even:
+        time = np.arange(-half_size, half_size) + 0.5
+    else:
+        time = np.arange(kernel_size) - half_size
+    if cutoff == 0:
+        return np.zeros(kernel_size, np.float32)
+    filt = 2.0 * cutoff * window * np.sinc(2.0 * cutoff * time)
+    filt = filt / filt.sum()
+    return filt.astype(np.float32)
+
+
+# 2x up/down filters used everywhere in BigVGAN (ratio=2, kernel 12).
+UP_FILTER = kaiser_sinc_filter1d(0.5 / 2, 0.6 / 2, 12)
+DOWN_FILTER = UP_FILTER  # same design parameters
+
+
+def _depthwise_kernel(filt: np.ndarray, channels: int, dtype) -> jnp.ndarray:
+    """(K,) filter -> (K, 1, C) depthwise kernel (same taps per channel)."""
+    k = filt.shape[0]
+    return jnp.broadcast_to(jnp.asarray(filt, dtype)[:, None, None],
+                            (k, 1, channels))
+
+
+def upsample2(x: jnp.ndarray, filt: np.ndarray = UP_FILTER) -> jnp.ndarray:
+    """×2 anti-aliased upsample of (B, T, C) → (B, 2T, C).
+
+    Equivalent to alias_free_torch/resample.py:10-33 (replicate pad 5, FIR
+    transposed-conv stride 2, crop 15/15, gain 2), with the crop folded into
+    negative conv padding.
+    """
+    b, t, c = x.shape
+    k = filt.shape[0]
+    ratio = 2
+    pad = k // ratio - 1                      # 5
+    crop = pad * ratio + (k - ratio) // 2     # 15
+    x = jnp.concatenate(
+        [jnp.repeat(x[:, :1], pad, axis=1), x, jnp.repeat(x[:, -1:], pad, axis=1)],
+        axis=1)
+    w = _depthwise_kernel(filt[::-1].copy() * ratio, c, x.dtype)
+    lo = k - 1 - crop
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(lo, lo)],
+        lhs_dilation=(ratio,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=c,
+        preferred_element_type=x.dtype,
+    )
+    return y
+
+
+def downsample2(x: jnp.ndarray, filt: np.ndarray = DOWN_FILTER) -> jnp.ndarray:
+    """×2 anti-aliased downsample of (B, 2T, C) → (B, T, C). Matches
+    alias_free_torch/filter.py:61-95 with stride 2 and replicate padding."""
+    b, t, c = x.shape
+    k = filt.shape[0]
+    pad_left = k // 2 - 1                     # 5
+    pad_right = k // 2                        # 6
+    x = jnp.concatenate(
+        [jnp.repeat(x[:, :1], pad_left, axis=1), x,
+         jnp.repeat(x[:, -1:], pad_right, axis=1)], axis=1)
+    w = _depthwise_kernel(filt, c, x.dtype)
+    y = lax.conv_general_dilated(
+        x, w, window_strides=(2,), padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=c,
+        preferred_element_type=x.dtype,
+    )
+    return y
+
+
+def snake(x: jnp.ndarray, alpha: jnp.ndarray, logscale: bool) -> jnp.ndarray:
+    """x + (1/α)·sin²(αx), per-channel α over the last axis.
+    Matches BigVGAN/activations.py:9-60."""
+    if logscale:
+        alpha = jnp.exp(alpha)
+    a = alpha.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    y = xf + (1.0 / (a + 1e-9)) * jnp.square(jnp.sin(xf * a))
+    return y.astype(x.dtype)
+
+
+def snake_beta(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
+               logscale: bool) -> jnp.ndarray:
+    """x + (1/β)·sin²(αx). Matches BigVGAN/activations.py:63-122."""
+    if logscale:
+        alpha = jnp.exp(alpha)
+        beta = jnp.exp(beta)
+    a = alpha.astype(jnp.float32)
+    bta = beta.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    y = xf + (1.0 / (bta + 1e-9)) * jnp.square(jnp.sin(xf * a))
+    return y.astype(x.dtype)
+
+
+def anti_aliased_activation(x: jnp.ndarray, alpha: jnp.ndarray,
+                            beta: jnp.ndarray | None, logscale: bool,
+                            use_pallas: bool = False) -> jnp.ndarray:
+    """Fused up→snake→down (Activation1d in alias_free_torch/act.py:9-28,
+    CUDA kernel .cu:44-181). (B, T, C) → (B, T, C)."""
+    if use_pallas:
+        from index_tts_dubbing_tpu.ops.pallas_snake import fused_anti_alias_snake
+        return fused_anti_alias_snake(x, alpha, beta, logscale)
+    y = upsample2(x)
+    if beta is None:
+        y = snake(y, alpha, logscale)
+    else:
+        y = snake_beta(y, alpha, beta, logscale)
+    return downsample2(y)

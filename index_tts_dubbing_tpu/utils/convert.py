@@ -1,0 +1,168 @@
+"""Torch checkpoint → JAX param-tree conversion.
+
+One-time conversion of the reference's three checkpoints (gpt.pth,
+bigvgan_generator.pth, dvae.pth — config.yaml:111-113) into this framework's
+param pytrees, including weight-norm folding (g·v/‖v‖ → plain kernels,
+matching torch remove_weight_norm semantics used at BigVGAN eval,
+BigVGAN/models.py:252-260).
+
+Works on "state dicts" = flat {name: numpy array}; ``load_torch_state_dict``
+produces one from a .pth file when torch is importable, so the heavy torch
+dependency is confined to conversion time.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Array]:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("model", "generator", "state_dict"):
+            if key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+                break
+    return {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+def torch_module_state_dict(module) -> Dict[str, Array]:
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+# --- primitive weight layout maps -----------------------------------------
+
+def conv1d_w(w: Array) -> Array:
+    """torch (Cout, Cin/g, K) → ours (K, Cin/g, Cout)."""
+    return np.transpose(w, (2, 1, 0)).copy()
+
+
+def conv2d_w(w: Array) -> Array:
+    """torch (Cout, Cin, Kh, Kw) → ours (Kh, Kw, Cin, Cout)."""
+    return np.transpose(w, (2, 3, 1, 0)).copy()
+
+
+def conv_transpose1d_w(w: Array) -> Array:
+    """torch (Cin, Cout, K) → ours (K, Cout, Cin)."""
+    return np.transpose(w, (2, 1, 0)).copy()
+
+
+def linear_w(w: Array) -> Array:
+    """torch (Cout, Cin) → ours (Cin, Cout)."""
+    return np.transpose(w).copy()
+
+
+def fold_weight_norm(sd: StateDict, prefix: str) -> Array:
+    """Return the plain torch-layout weight for ``prefix`` whether or not it is
+    weight-normed in the state dict (handles both parametrized and legacy
+    weight_g/weight_v naming)."""
+    if f"{prefix}.weight" in sd:
+        return sd[f"{prefix}.weight"]
+    for gk, vk in ((f"{prefix}.weight_g", f"{prefix}.weight_v"),
+                   (f"{prefix}.parametrizations.weight.original0",
+                    f"{prefix}.parametrizations.weight.original1")):
+        if gk in sd:
+            g, v = sd[gk], sd[vk]
+            axes = tuple(range(1, v.ndim))
+            norm = np.sqrt(np.sum(np.square(v), axis=axes, keepdims=True))
+            return (g * v / norm).astype(v.dtype)
+    raise KeyError(f"no weight found for {prefix}")
+
+
+def _conv(sd: StateDict, prefix: str, transposed: bool = False) -> Dict[str, Array]:
+    w = fold_weight_norm(sd, prefix)
+    w = conv_transpose1d_w(w) if transposed else conv1d_w(w)
+    p = {"w": w}
+    if f"{prefix}.bias" in sd:
+        p["b"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _linear(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    p = {"w": linear_w(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["b"] = sd[f"{prefix}.bias"]
+    return p
+
+
+def _bn(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    return {"g": sd[f"{prefix}.weight"], "b": sd[f"{prefix}.bias"],
+            "mean": sd[f"{prefix}.running_mean"],
+            "var": sd[f"{prefix}.running_var"]}
+
+
+def _ln(sd: StateDict, prefix: str) -> Dict[str, Array]:
+    return {"g": sd[f"{prefix}.weight"], "b": sd[f"{prefix}.bias"]}
+
+
+# --- ECAPA-TDNN ------------------------------------------------------------
+
+def convert_ecapa(sd: StateDict, prefix: str = "") -> Dict[str, Any]:
+    """Reference ECAPA_TDNN state dict → models/ecapa.py param tree.
+    Layer map per ECAPA_TDNN.py:470-541."""
+    from index_tts_dubbing_tpu.models.ecapa import CHANNELS, RES2NET_SCALE
+
+    def tdnn(pfx):
+        return {"conv": _conv(sd, f"{pfx}.conv.conv"),
+                "bn": _bn(sd, f"{pfx}.norm.norm")}
+
+    p: Dict[str, Any] = {"blocks": []}
+    p["blocks"].append(tdnn(f"{prefix}blocks.0"))
+    for i in range(1, len(CHANNELS) - 1):
+        b = f"{prefix}blocks.{i}"
+        p["blocks"].append({
+            "tdnn1": tdnn(f"{b}.tdnn1"),
+            "res2net": {"blocks": [tdnn(f"{b}.res2net_block.blocks.{j}")
+                                   for j in range(RES2NET_SCALE - 1)]},
+            "tdnn2": tdnn(f"{b}.tdnn2"),
+            "se": {"conv1": _conv(sd, f"{b}.se_block.conv1.conv"),
+                   "conv2": _conv(sd, f"{b}.se_block.conv2.conv")},
+        })
+    p["mfa"] = tdnn(f"{prefix}mfa")
+    p["asp"] = {"tdnn": tdnn(f"{prefix}asp.tdnn"),
+                "conv": _conv(sd, f"{prefix}asp.conv.conv")}
+    p["asp_bn"] = _bn(sd, f"{prefix}asp_bn.norm")
+    p["fc"] = _conv(sd, f"{prefix}fc.conv")
+    return p
+
+
+# --- BigVGAN generator ------------------------------------------------------
+
+def convert_bigvgan(sd: StateDict, num_upsamples: int = 6,
+                    num_kernels: int = 3) -> Dict[str, Any]:
+    """Reference BigVGAN generator state dict → models/bigvgan.py param tree.
+    Layer map per BigVGAN/models.py:130-199."""
+    p: Dict[str, Any] = {}
+    p["conv_pre"] = _conv(sd, "conv_pre")
+    p["ups"] = [_conv(sd, f"ups.{i}.0", transposed=True)
+                for i in range(num_upsamples)]
+    p["resblocks"] = []
+    for i in range(num_upsamples * num_kernels):
+        rb = {
+            "convs1": [_conv(sd, f"resblocks.{i}.convs1.{j}") for j in range(3)],
+            "convs2": [_conv(sd, f"resblocks.{i}.convs2.{j}") for j in range(3)],
+            "acts": [],
+        }
+        for j in range(6):
+            a = {"alpha": sd[f"resblocks.{i}.activations.{j}.act.alpha"]}
+            bkey = f"resblocks.{i}.activations.{j}.act.beta"
+            if bkey in sd:
+                a["beta"] = sd[bkey]
+            rb["acts"].append(a)
+        p["resblocks"].append(rb)
+    a = {"alpha": sd["activation_post.act.alpha"]}
+    if "activation_post.act.beta" in sd:
+        a["beta"] = sd["activation_post.act.beta"]
+    p["act_post"] = a
+    p["conv_post"] = _conv(sd, "conv_post")
+    p["cond_layer"] = _conv(sd, "cond_layer")
+    p["conds"] = [_conv(sd, f"conds.{i}") for i in range(num_upsamples)]
+    p["speaker_encoder"] = convert_ecapa(sd, "speaker_encoder.")
+    return p
