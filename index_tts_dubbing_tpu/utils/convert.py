@@ -133,6 +133,80 @@ def convert_ecapa(sd: StateDict, prefix: str = "") -> Dict[str, Any]:
     return p
 
 
+# --- Conformer encoder ------------------------------------------------------
+
+def convert_conformer(sd: StateDict, num_blocks: int = 6,
+                      prefix: str = "") -> Dict[str, Any]:
+    """Reference ConformerEncoder state dict → models/conformer.py tree.
+    Layer map per gpt/conformer_encoder.py:316-521."""
+    from index_tts_dubbing_tpu.models.conformer import sinusoidal_pos
+
+    odim = sd[f"{prefix}embed.conv.0.weight"].shape[0]
+    p: Dict[str, Any] = {
+        "embed": {
+            "conv": {"w": conv2d_w(sd[f"{prefix}embed.conv.0.weight"]),
+                     "b": sd[f"{prefix}embed.conv.0.bias"]},
+            "out": _linear(sd, f"{prefix}embed.out.0"),
+        },
+        "pe": sinusoidal_pos(5000, odim),
+        "blocks": [],
+        "after_norm": _ln(sd, f"{prefix}after_norm"),
+    }
+    for i in range(num_blocks):
+        b = f"{prefix}encoders.{i}"
+        p["blocks"].append({
+            "norm_mha": _ln(sd, f"{b}.norm_mha"),
+            "attn": {
+                "q": _linear(sd, f"{b}.self_attn.linear_q"),
+                "k": _linear(sd, f"{b}.self_attn.linear_k"),
+                "v": _linear(sd, f"{b}.self_attn.linear_v"),
+                "pos": _linear(sd, f"{b}.self_attn.linear_pos"),
+                "out": _linear(sd, f"{b}.self_attn.linear_out"),
+                "pos_bias_u": sd[f"{b}.self_attn.pos_bias_u"],
+                "pos_bias_v": sd[f"{b}.self_attn.pos_bias_v"],
+            },
+            "norm_conv": _ln(sd, f"{b}.norm_conv"),
+            "conv": {
+                "pw1": _conv(sd, f"{b}.conv_module.pointwise_conv1"),
+                "dw": _conv(sd, f"{b}.conv_module.depthwise_conv"),
+                "ln": _ln(sd, f"{b}.conv_module.norm"),
+                "pw2": _conv(sd, f"{b}.conv_module.pointwise_conv2"),
+            },
+            "norm_ff": _ln(sd, f"{b}.norm_ff"),
+            "ff": {"w1": _linear(sd, f"{b}.feed_forward.w_1"),
+                   "w2": _linear(sd, f"{b}.feed_forward.w_2")},
+            "norm_final": _ln(sd, f"{b}.norm_final"),
+        })
+    return p
+
+
+# --- Perceiver resampler ----------------------------------------------------
+
+def convert_perceiver(sd: StateDict, depth: int = 2,
+                      prefix: str = "") -> Dict[str, Any]:
+    """Reference PerceiverResampler state dict → models/perceiver.py tree.
+    Layer map per gpt/perceiver.py:224-317."""
+    p: Dict[str, Any] = {
+        "latents": sd[f"{prefix}latents"],
+        "norm": {"g": sd[f"{prefix}norm.gamma"]},
+        "layers": [],
+    }
+    if f"{prefix}proj_context.weight" in sd:
+        p["proj_context"] = _linear(sd, f"{prefix}proj_context")
+    for i in range(depth):
+        b = f"{prefix}layers.{i}"
+        p["layers"].append({
+            "attn": {
+                "to_q": _linear(sd, f"{b}.0.to_q"),
+                "to_kv": _linear(sd, f"{b}.0.to_kv"),
+                "to_out": _linear(sd, f"{b}.0.to_out"),
+            },
+            "ff": {"w1": _linear(sd, f"{b}.1.0"),
+                   "w2": _linear(sd, f"{b}.1.2")},
+        })
+    return p
+
+
 # --- BigVGAN generator ------------------------------------------------------
 
 def convert_bigvgan(sd: StateDict, num_upsamples: int = 6,

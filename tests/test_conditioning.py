@@ -1,0 +1,57 @@
+"""Conformer + perceiver conditioning parity vs the reference torch modules."""
+import numpy as np
+import pytest
+import torch
+
+from tests.ref_loader import load_reference
+
+
+@pytest.fixture(scope="module")
+def ref_mods():
+    load_reference()
+    from indextts.gpt.conformer_encoder import ConformerEncoder
+    from indextts.gpt.perceiver import PerceiverResampler
+    torch.manual_seed(2)
+    enc = ConformerEncoder(input_size=100, output_size=512, linear_units=2048,
+                           attention_heads=8, num_blocks=6, input_layer="conv2d2")
+    enc.eval()
+    per = PerceiverResampler(1024, dim_context=512, ff_mult=2, heads=8,
+                             num_latents=32)
+    per.eval()
+    return enc, per
+
+
+def test_conformer_parity(ref_mods, rng):
+    from index_tts_dubbing_tpu.models import conformer
+    from index_tts_dubbing_tpu.utils.convert import convert_conformer, torch_module_state_dict
+
+    enc, _ = ref_mods
+    params = convert_conformer(torch_module_state_dict(enc))
+    mel = rng.standard_normal((2, 90, 100)).astype(np.float32)
+    lengths = np.array([90, 61], np.int64)
+    with torch.no_grad():
+        ref, ref_mask = enc(torch.from_numpy(mel), torch.from_numpy(lengths))
+    got, keep = conformer.forward(params, mel, lengths)
+    assert got.shape == tuple(ref.shape)
+    np.testing.assert_array_equal(np.asarray(keep), ref_mask.numpy()[:, 0, :])
+    # padded positions may differ; compare valid region per row
+    ref_np = ref.numpy()
+    got_np = np.asarray(got)
+    m = ref_mask.numpy()[:, 0, :, None]
+    np.testing.assert_allclose(got_np * m, ref_np * m, atol=2e-4, rtol=1e-3)
+
+
+def test_perceiver_parity(ref_mods, rng):
+    from index_tts_dubbing_tpu.models import perceiver
+    from index_tts_dubbing_tpu.utils.convert import convert_perceiver, torch_module_state_dict
+
+    _, per = ref_mods
+    params = convert_perceiver(torch_module_state_dict(per))
+    ctx = rng.standard_normal((2, 45, 512)).astype(np.float32)
+    mask = np.ones((2, 32 + 45), bool)
+    mask[1, 32 + 30:] = False
+    with torch.no_grad():
+        ref = per(torch.from_numpy(ctx), torch.from_numpy(mask)).numpy()
+    got = np.asarray(perceiver.forward(params, ctx, mask))
+    assert got.shape == ref.shape == (2, 32, 1024)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
