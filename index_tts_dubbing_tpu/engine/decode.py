@@ -1,0 +1,208 @@
+"""Autoregressive mel-code decoding: prefill + lax.while_loop over a static
+KV cache. This replaces the reference's HF ``generate`` hot loop
+(gpt/model.py:655-708 + GPT2InferenceModel.forward 115-192).
+
+Semantics preserved from the reference:
+- left-padded [pad][cond(32)][start,text,stop] prefix with per-row text
+  positions restarting at 0 (prepare_gpt_inputs, model.py:591-654);
+- decode starts from the start_mel token appended to the prefix;
+- generated token j (1-based) takes mel position j+1 (tortoise off-by-one,
+  model.py:151-155);
+- HF sampling pipeline order: repetition penalty (set-semantics over all
+  previous ids — including the all-ones fake prefix ids and the start token,
+  so ids 1 and 8192 are penalised from step 0) → temperature → top-k → top-p;
+- stop on stop_mel_token per row; finished rows emit stop_mel (pad token).
+
+TPU design: the whole decode is one jitted while_loop with static shapes;
+top-p reuses the top-k subset so no full-vocab sort happens per step.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from index_tts_dubbing_tpu import nn
+from index_tts_dubbing_tpu.models import gpt as gpt_model
+from index_tts_dubbing_tpu.models.gpt import GPTConfig, KVCache
+
+SEG_PAD, SEG_COND, SEG_TEXT = 0, 1, 2
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    do_sample: bool = True
+    temperature: float = 1.0
+    top_k: int = 30
+    top_p: float = 0.8
+    repetition_penalty: float = 10.0
+    max_mel_tokens: int = 600
+    # HF fake-prefix ids seen by the repetition penalty (all-ones input_ids).
+    fake_prefix_id: int = 1
+
+
+def prepare_prefix_host(cfg: GPTConfig, texts: Sequence[np.ndarray]
+                        ) -> Dict[str, np.ndarray]:
+    """Host-side prefix layout. For each row: strip any start/stop tokens,
+    re-frame as [start, text, stop], left-pad to the common target length.
+    Returns ids/pos/seg arrays of shape (B, 32+L+2) that the device embedding
+    builder consumes. Mirrors prepare_gpt_inputs (model.py:591-654)."""
+    cond_n = cfg.condition_num_latent
+    rows = []
+    l_raw = max(np.asarray(t).reshape(-1).size for t in texts)
+    for t in texts:
+        t = np.asarray(t).reshape(-1)
+        t = t[(t != cfg.start_text_token) & (t != cfg.stop_text_token)]
+        rows.append(np.concatenate([[cfg.start_text_token], t,
+                                    [cfg.stop_text_token]]).astype(np.int32))
+    # reference pads every row to the *unstripped* common width + 2
+    # (model.py:614: target_len = cond + L + 2)
+    lmax = l_raw + 2
+    b = len(rows)
+    target = cond_n + lmax
+    ids = np.zeros((b, target), np.int32)
+    pos = np.zeros((b, target), np.int32)
+    seg = np.full((b, target), SEG_PAD, np.int32)
+    cond_idx = np.zeros((b, target), np.int32)
+    for i, r in enumerate(rows):
+        pad = lmax - r.size
+        seg[i, pad:pad + cond_n] = SEG_COND
+        cond_idx[i, pad:pad + cond_n] = np.arange(cond_n)
+        seg[i, pad + cond_n:] = SEG_TEXT
+        ids[i, pad + cond_n:] = r
+        pos[i, pad + cond_n:] = np.arange(r.size)
+    return {"ids": ids, "pos": pos, "seg": seg, "cond_idx": cond_idx}
+
+
+def build_prefix_emb(params: Dict[str, Any], cfg: GPTConfig,
+                     conds: jnp.ndarray, ids: jnp.ndarray, pos: jnp.ndarray,
+                     seg: jnp.ndarray, cond_idx: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device-side prefix embedding assembly + the trailing start_mel slot.
+    Returns (emb (B, S0, C), pad_keep (B, S0)) with S0 = target_len + 1."""
+    b, t = ids.shape
+    if conds.shape[0] == 1 and b > 1:
+        conds = jnp.broadcast_to(conds, (b,) + conds.shape[1:])
+    text_e = (nn.embedding(params["text_emb"], ids)
+              + jnp.take(params["text_pos"]["w"], pos, axis=0))
+    cond_e = jnp.take_along_axis(conds, cond_idx[..., None], axis=1)
+    emb = jnp.where((seg == SEG_TEXT)[..., None], text_e, 0.0)
+    emb = jnp.where((seg == SEG_COND)[..., None], cond_e, emb)
+    start = (params["mel_emb"]["w"][cfg.start_mel_token]
+             + params["mel_pos"]["w"][0])
+    emb = jnp.concatenate(
+        [emb, jnp.broadcast_to(start[None, None], (b, 1, emb.shape[-1]))], axis=1)
+    pad_keep = jnp.concatenate(
+        [seg != SEG_PAD, jnp.ones((b, 1), bool)], axis=1)
+    return emb.astype(conds.dtype), pad_keep
+
+
+def _process_logits(logits: jnp.ndarray, seen: jnp.ndarray,
+                    sc: SamplingConfig) -> jnp.ndarray:
+    """HF-order logits pipeline in fp32. logits (B, V)."""
+    logits = logits.astype(jnp.float32)
+    if sc.repetition_penalty != 1.0:
+        pen = jnp.where(logits > 0, logits / sc.repetition_penalty,
+                        logits * sc.repetition_penalty)
+        logits = jnp.where(seen, pen, logits)
+    if not sc.do_sample:
+        return logits
+    if sc.temperature != 1.0:
+        logits = logits / sc.temperature
+    v = logits.shape[-1]
+    k = min(sc.top_k, v) if sc.top_k > 0 else v
+    if sc.top_k > 0 and k < v:
+        topv, _ = jax.lax.top_k(logits, k)
+        logits = jnp.where(logits < topv[..., -1:], -jnp.inf, logits)
+    else:
+        topv = jnp.sort(logits, axis=-1)[..., ::-1]
+    if sc.top_p < 1.0:
+        # top-p over the (already sorted) top-k slice: find the smallest kept
+        # value, mask everything below it.
+        probs = jax.nn.softmax(topv, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) <= sc.top_p      # first token always kept
+        kth = jnp.sum(keep, axis=-1) - 1      # index of last kept
+        cutoff = jnp.take_along_axis(topv, kth[..., None], axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return logits
+
+
+class GenerateResult(NamedTuple):
+    codes: jnp.ndarray      # (B, max_steps) generated mel codes, stop-padded
+    lengths: jnp.ndarray    # (B,) #codes before the stop token
+    steps: jnp.ndarray      # scalar: decode iterations executed
+
+
+@partial(jax.jit, static_argnames=("cfg", "sc"))
+def generate(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
+             prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
+             rng: jax.Array) -> GenerateResult:
+    """Sample mel codes. prefix_emb (B, S0, C) ends with the start_mel slot."""
+    b, s0, c = prefix_emb.shape
+    max_steps = sc.max_mel_tokens
+    s_total = s0 + max_steps
+    vocab = cfg.number_mel_codes
+
+    cache = gpt_model.init_cache(cfg, b, s_total, dtype=prefix_emb.dtype)
+    h, cache = gpt_model.trunk_prefill(params, cfg, prefix_emb, pad_keep, cache)
+
+    # validity over cache slots: prefix pads stay masked; generated slots
+    # become valid as the loop advances.
+    base_keep = jnp.concatenate(
+        [pad_keep, jnp.ones((b, max_steps), bool)], axis=1)
+
+    seen0 = jnp.zeros((b, vocab), bool)
+    seen0 = seen0.at[:, sc.fake_prefix_id].set(True)
+    seen0 = seen0.at[:, cfg.start_mel_token].set(True)
+
+    def sample_token(h, seen, key):
+        logits = gpt_model.mel_logits_from_hidden(params, h)
+        logits = _process_logits(logits, seen, sc)
+        if sc.do_sample:
+            return jax.random.categorical(key, logits, axis=-1)
+        return jnp.argmax(logits, axis=-1)
+
+    key0, key1 = jax.random.split(rng)
+    tok0 = sample_token(h, seen0, key1)
+    done0 = tok0 == cfg.stop_mel_token
+    tokens0 = jnp.full((b, max_steps), cfg.stop_mel_token, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(tok0.astype(jnp.int32))
+    seen0 = seen0.at[jnp.arange(b), tok0].set(True)
+
+    State = Tuple  # (j, tokens, prev_tok, done, cache, seen, key)
+
+    def cond_fn(state):
+        j, _, _, done, _, _, _ = state
+        return (j < max_steps) & (~jnp.all(done))
+
+    def body_fn(state):
+        j, tokens, prev, done, cache, seen, key = state
+        key, sub = jax.random.split(key)
+        # embed previous token at mel position j+1 (parity quirk)
+        emb = (jnp.take(params["mel_emb"]["w"], prev, axis=0)
+               + params["mel_pos"]["w"][j + 1]).astype(prefix_emb.dtype)
+        slot = s0 + j - 1
+        kk = base_keep & (jnp.arange(s_total)[None, :] <= slot)
+        hh, cache = gpt_model.trunk_decode_step(params, cfg, emb, cache,
+                                                slot, kk)
+        tok = sample_token(hh, seen, sub)
+        tok = jnp.where(done, cfg.stop_mel_token, tok)
+        newly_done = tok == cfg.stop_mel_token
+        tokens = tokens.at[:, j].set(tok.astype(jnp.int32))
+        seen = seen.at[jnp.arange(b), tok].set(True)
+        return (j + 1, tokens, tok, done | newly_done, cache, seen, key)
+
+    init = (jnp.int32(1), tokens0, tok0, done0, cache, seen0, key0)
+    j, tokens, _, done, _, _, _ = jax.lax.while_loop(cond_fn, body_fn, init)
+
+    is_stop = tokens == cfg.stop_mel_token
+    any_stop = jnp.any(is_stop, axis=1)
+    first_stop = jnp.argmax(is_stop, axis=1)
+    lengths = jnp.where(any_stop, first_stop, max_steps)
+    return GenerateResult(tokens, lengths, j)

@@ -1,0 +1,346 @@
+"""UnifiedVoice: GPT-2 AR decoder over [cond(32) · text · mel-code] streams.
+
+Behavioural spec: gpt/model.py (UnifiedVoice + the HF GPT-2 trunk it builds at
+model.py:253-274: null wpe, learned per-stream position embeddings, fused-qkv
+attention, gelu_pytorch_tanh). IndexTTS-1.5 shape: 1024d × 20L × 16H,
+12000(+1) text tokens, 8194 mel codes (start 8192, stop 8193).
+
+TPU design: one pure full-sequence forward (training / latent extraction) and
+a prefill + single-token decode pair around a **static preallocated KV cache**
+(engine/decode.py drives it in a lax.while_loop — replacing HF `generate`).
+All sequence shapes static; masks additive fp32.
+
+Note a deliberate parity quirk: at decode, generated mel token j (1-based)
+takes mel position j+1 — the reference inherits this off-by-one from
+tortoise (model.py:151-155: ind = attention_mask.len - mel_len after the mask
+has grown), and checkpoints are trained with it.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from index_tts_dubbing_tpu import nn
+from index_tts_dubbing_tpu.models import conformer, perceiver
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class GPTConfig:
+    model_dim: int = 1024
+    layers: int = 20
+    heads: int = 16
+    max_mel_tokens: int = 605
+    max_text_tokens: int = 402
+    number_text_tokens: int = 12000
+    number_mel_codes: int = 8194
+    start_mel_token: int = 8192
+    stop_mel_token: int = 8193
+    start_text_token: int = 0
+    stop_text_token: int = 1
+    mel_length_compression: int = 1024
+    condition_num_latent: int = 32
+    # condition module (config.yaml:31-37)
+    cond_output_size: int = 512
+    cond_linear_units: int = 2048
+    cond_attention_heads: int = 8
+    cond_num_blocks: int = 6
+    activation: str = "gelu_pytorch_tanh"
+    perceiver_mult: int = 2
+
+    @property
+    def max_mel_seq(self) -> int:   # mel stream positions (incl start/stop/cond slot)
+        return self.max_mel_tokens + 2 + 1
+
+    @property
+    def max_text_seq(self) -> int:
+        return self.max_text_tokens + 2
+
+    @property
+    def head_dim(self) -> int:
+        return self.model_dim // self.heads
+
+
+# ---------------------------------------------------------------------------
+# GPT-2 trunk
+# ---------------------------------------------------------------------------
+
+def _act(cfg: GPTConfig, x):
+    return nn.gelu_tanh(x) if "tanh" in cfg.activation or cfg.activation == "gelu_new" else nn.gelu_exact(x)
+
+
+def _attn_full(p: Params, x: jnp.ndarray, heads: int,
+               attn_bias: jnp.ndarray) -> jnp.ndarray:
+    """Full-sequence fused-qkv self-attention. attn_bias (B,1,T,T) additive."""
+    qkv = nn.linear(p["qkv"], x)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (nn.split_heads(t, heads) for t in (q, k, v))
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits + attn_bias
+    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=x.dtype)
+    return nn.linear(p["proj"], nn.merge_heads(out))
+
+
+def _mlp(cfg: GPTConfig, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return nn.linear(p["proj"], _act(cfg, nn.linear(p["fc"], x)))
+
+
+def _block_full(cfg: GPTConfig, p: Params, x: jnp.ndarray,
+                attn_bias: jnp.ndarray) -> jnp.ndarray:
+    x = x + _attn_full(p["attn"], nn.layer_norm(p["ln1"], x), cfg.heads, attn_bias)
+    x = x + _mlp(cfg, p["mlp"], nn.layer_norm(p["ln2"], x))
+    return x
+
+
+def causal_bias(t: int, pad_keep: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Additive fp32 attention bias (B or 1, 1, T, T): causal + key padding."""
+    c = jnp.tril(jnp.ones((t, t), bool))
+    bias = jnp.where(c, 0.0, -1e30)[None, None]
+    if pad_keep is not None:
+        bias = bias + jnp.where(pad_keep, 0.0, -1e30)[:, None, None, :]
+    return bias.astype(jnp.float32)
+
+
+def trunk_forward(params: Params, cfg: GPTConfig, emb: jnp.ndarray,
+                  pad_keep: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Full-sequence trunk: embeddings (B,T,C) → hidden after ln_f."""
+    bias = causal_bias(emb.shape[1], pad_keep)
+    x = emb
+    for blk in params["blocks"]:
+        x = _block_full(cfg, blk, x, bias)
+    return nn.layer_norm(params["ln_f"], x)
+
+
+# ---------------------------------------------------------------------------
+# KV-cache prefill / decode
+# ---------------------------------------------------------------------------
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # (L, B, H, S, D)
+    v: jnp.ndarray
+
+
+def init_cache(cfg: GPTConfig, batch: int, max_len: int,
+               dtype=jnp.float32) -> KVCache:
+    shape = (cfg.layers, batch, cfg.heads, max_len, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def trunk_prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray,
+                  pad_keep: jnp.ndarray, cache: KVCache
+                  ) -> Tuple[jnp.ndarray, KVCache]:
+    """Run the prefix (B, T0, C), fill cache[:, :, :, :T0], return hidden of
+    the last position (B, C) after ln_f."""
+    t0 = emb.shape[1]
+    bias = causal_bias(t0, pad_keep)
+    x = emb
+    ks, vs = [], []
+    for blk in params["blocks"]:
+        h = nn.layer_norm(blk["ln1"], x)
+        qkv = nn.linear(blk["attn"]["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (nn.split_heads(t, cfg.heads) for t in (q, k, v))
+        ks.append(k)
+        vs.append(v)
+        scale = 1.0 / math.sqrt(cfg.head_dim)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + bias
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=x.dtype)
+        x = x + nn.linear(blk["attn"]["proj"], nn.merge_heads(o))
+        x = x + _mlp(cfg, blk["mlp"], nn.layer_norm(blk["ln2"], x))
+    k_stack = jnp.stack(ks)  # (L, B, H, T0, D)
+    v_stack = jnp.stack(vs)
+    cache = KVCache(
+        jax.lax.dynamic_update_slice(cache.k, k_stack.astype(cache.k.dtype),
+                                     (0, 0, 0, 0, 0)),
+        jax.lax.dynamic_update_slice(cache.v, v_stack.astype(cache.v.dtype),
+                                     (0, 0, 0, 0, 0)),
+    )
+    h_last = nn.layer_norm(params["ln_f"], x[:, -1, :])
+    return h_last, cache
+
+
+def trunk_decode_step(params: Params, cfg: GPTConfig, x: jnp.ndarray,
+                      cache: KVCache, pos: jnp.ndarray,
+                      key_keep: jnp.ndarray) -> Tuple[jnp.ndarray, KVCache]:
+    """One decode step. x (B, C) embedding of the current token; ``pos`` the
+    cache slot it occupies; key_keep (B, S) validity mask over cache slots
+    (True = attend). Returns hidden (B, C) after ln_f and the updated cache."""
+    kbias = jnp.where(key_keep, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    k_all, v_all = cache.k, cache.v
+    for li, blk in enumerate(params["blocks"]):
+        h = nn.layer_norm(blk["ln1"], x)
+        qkv = nn.linear(blk["attn"]["qkv"], h[:, None, :])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = nn.split_heads(q, cfg.heads)            # (B,H,1,D)
+        k = nn.split_heads(k, cfg.heads)
+        v = nn.split_heads(v, cfg.heads)
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k[None].astype(k_all.dtype), (li, 0, 0, pos, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v[None].astype(v_all.dtype), (li, 0, 0, pos, 0))
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_all[li].astype(q.dtype),
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + kbias
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        o = jnp.einsum("bhqk,bhkd->bhqd", w, v_all[li].astype(x.dtype),
+                       preferred_element_type=x.dtype)
+        x = x + nn.linear(blk["attn"]["proj"], nn.merge_heads(o)[:, 0, :])
+        x = x + _mlp(cfg, blk["mlp"], nn.layer_norm(blk["ln2"], x))
+    h = nn.layer_norm(params["ln_f"], x)
+    return h, KVCache(k_all, v_all)
+
+
+# ---------------------------------------------------------------------------
+# UnifiedVoice-level ops
+# ---------------------------------------------------------------------------
+
+def get_conditioning(params: Params, cfg: GPTConfig, mel: jnp.ndarray,
+                     lengths: jnp.ndarray) -> jnp.ndarray:
+    """mel (B, T, n_mels) + lengths → conds (B, 32, model_dim).
+    Mirrors UnifiedVoice.get_conditioning (model.py:490-519)."""
+    x, keep = conformer.forward(params["cond_encoder"], mel, lengths,
+                                heads=cfg.cond_attention_heads)
+    ones = jnp.ones((keep.shape[0], cfg.condition_num_latent), bool)
+    conds_mask = jnp.concatenate([ones, keep], axis=1)
+    return perceiver.forward(params["perceiver"], x, conds_mask,
+                             heads=cfg.cond_attention_heads)
+
+
+def mel_logits_from_hidden(params: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """final_norm + mel head (the lm_head of GPT2InferenceModel,
+    model.py:48)."""
+    return nn.linear(params["mel_head"], nn.layer_norm(params["final_norm"], h))
+
+
+def build_latent_inputs(params: Params, cfg: GPTConfig, conds: jnp.ndarray,
+                        text_ids: jnp.ndarray, text_lens: jnp.ndarray,
+                        codes: jnp.ndarray, code_lens: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # See forward_latent.
+    b, lt = text_ids.shape
+    m = codes.shape[1]
+    # set_text_padding + stop pad + aligned start (model.py:556-566)
+    tpos = jnp.arange(lt)[None, :]
+    text = jnp.where(tpos < text_lens[:, None], text_ids, cfg.stop_text_token)
+    text = jnp.pad(text, ((0, 0), (0, 1)), constant_values=cfg.stop_text_token)
+    text = jnp.pad(text, ((0, 0), (1, 0)), constant_values=cfg.start_text_token)
+    # mel: lengths' = code_lens + 1 (ceil(wav/1024)+1 with wav = code_lens*1024)
+    mpos = jnp.arange(m)[None, :]
+    mel = jnp.where(mpos < (code_lens + 1)[:, None], codes, cfg.stop_mel_token)
+    mel = jnp.pad(mel, ((0, 0), (0, 1)), constant_values=cfg.stop_mel_token)
+    mel = jnp.pad(mel, ((0, 0), (1, 0)), constant_values=cfg.start_mel_token)
+
+    text_emb = (nn.embedding(params["text_emb"], text)
+                + params["text_pos"]["w"][None, :text.shape[1]])
+    mel_emb = (nn.embedding(params["mel_emb"], mel)
+               + params["mel_pos"]["w"][None, :mel.shape[1]])
+    emb = jnp.concatenate([conds.astype(text_emb.dtype), text_emb, mel_emb],
+                          axis=1)
+    return emb, mel
+
+
+def forward_latent(params: Params, cfg: GPTConfig, conds: jnp.ndarray,
+                   text_ids: jnp.ndarray, text_lens: jnp.ndarray,
+                   codes: jnp.ndarray, code_lens: jnp.ndarray) -> jnp.ndarray:
+    """Teacher-forced pass returning mel latents (B, M, C) for the vocoder.
+    Mirrors UnifiedVoice.forward(..., return_latent=True) (model.py:521-578):
+    output covers the padded code stream; positions beyond each row's
+    code_len correspond to stop tokens (the engine slices per row)."""
+    emb, mel = build_latent_inputs(params, cfg, conds, text_ids, text_lens,
+                                   codes, code_lens)
+    h = trunk_forward(params, cfg, emb)
+    enc = nn.layer_norm(params["final_norm"], h[:, conds.shape[1]:])
+    mel_latent = enc[:, -mel.shape[1]:]
+    return mel_latent[:, :-2]
+
+
+def forward_train(params: Params, cfg: GPTConfig, mel_cond: jnp.ndarray,
+                  cond_lens: jnp.ndarray, text_ids: jnp.ndarray,
+                  text_lens: jnp.ndarray, codes: jnp.ndarray,
+                  code_lens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Training forward: (loss_text, loss_mel) cross-entropies over the two
+    streams, target = input shifted with start/stop framing
+    (model.py:521-589)."""
+    conds = get_conditioning(params, cfg, mel_cond, cond_lens)
+    emb, mel = build_latent_inputs(params, cfg, conds, text_ids, text_lens,
+                                   codes, code_lens)
+    h = trunk_forward(params, cfg, emb)
+    enc = nn.layer_norm(params["final_norm"], h[:, conds.shape[1]:])
+    lt = text_ids.shape[1] + 2
+    text_h, mel_h = enc[:, :lt], enc[:, lt:]
+    text_logits = nn.linear(params["text_head"], text_h)
+    mel_logits = nn.linear(params["mel_head"], mel_h)
+
+    # targets: input stream shifted left, ending in stop token
+    tpos = jnp.arange(text_ids.shape[1])[None, :]
+    text_in = jnp.where(tpos < text_lens[:, None], text_ids, cfg.stop_text_token)
+    text_tgt = jnp.pad(text_in, ((0, 0), (0, 2)),
+                       constant_values=cfg.stop_text_token)
+    mpos = jnp.arange(codes.shape[1])[None, :]
+    mel_in = jnp.where(mpos < (code_lens + 1)[:, None], codes, cfg.stop_mel_token)
+    mel_tgt = jnp.pad(mel_in, ((0, 0), (0, 2)),
+                      constant_values=cfg.stop_mel_token)
+
+    def ce(logits, tgt):
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ll = jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+        return -jnp.mean(ll)
+
+    return ce(text_logits, text_tgt), ce(mel_logits, mel_tgt)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def init(rng, cfg: GPTConfig) -> Params:
+    keys = iter(jax.random.split(rng, cfg.layers * 8 + 16))
+    d = cfg.model_dim
+    p: Params = {
+        "cond_encoder": conformer.init(
+            next(keys), 100, cfg.cond_output_size, cfg.cond_attention_heads,
+            cfg.cond_linear_units, cfg.cond_num_blocks),
+        "perceiver": perceiver.init(
+            next(keys), d, cfg.cond_output_size, cfg.condition_num_latent,
+            64, cfg.cond_attention_heads, cfg.perceiver_mult),
+        "text_emb": nn.embedding_init(next(keys), cfg.number_text_tokens + 1, d),
+        "mel_emb": nn.embedding_init(next(keys), cfg.number_mel_codes, d),
+        "text_pos": nn.embedding_init(next(keys), cfg.max_text_seq, d),
+        "mel_pos": nn.embedding_init(next(keys), cfg.max_mel_seq, d),
+        "blocks": [],
+        "ln_f": nn.layer_norm_init(d),
+        "final_norm": nn.layer_norm_init(d),
+        "text_head": nn.linear_init(next(keys), d, cfg.number_text_tokens + 1),
+        "mel_head": nn.linear_init(next(keys), d, cfg.number_mel_codes),
+    }
+    for _ in range(cfg.layers):
+        p["blocks"].append({
+            "ln1": nn.layer_norm_init(d),
+            "attn": {
+                "qkv": {"w": jax.random.normal(next(keys), (d, 3 * d)) * 0.02,
+                        "b": jnp.zeros((3 * d,), jnp.float32)},
+                "proj": {"w": jax.random.normal(next(keys), (d, d)) * 0.02,
+                         "b": jnp.zeros((d,), jnp.float32)},
+            },
+            "ln2": nn.layer_norm_init(d),
+            "mlp": {
+                "fc": {"w": jax.random.normal(next(keys), (d, 4 * d)) * 0.02,
+                       "b": jnp.zeros((4 * d,), jnp.float32)},
+                "proj": {"w": jax.random.normal(next(keys), (4 * d, d)) * 0.02,
+                         "b": jnp.zeros((d,), jnp.float32)},
+            },
+        })
+    return p

@@ -207,6 +207,43 @@ def convert_perceiver(sd: StateDict, depth: int = 2,
     return p
 
 
+# --- UnifiedVoice GPT -------------------------------------------------------
+
+def convert_unified_voice(sd: StateDict, layers: int = 20,
+                          cond_blocks: int = 6) -> Dict[str, Any]:
+    """Reference UnifiedVoice (gpt.pth) state dict → models/gpt.py param tree.
+    Layer map per gpt/model.py:300-386 + HF GPT2Model (Conv1D weights are
+    already (in, out), so they map to our linear layout without transpose)."""
+    def conv1d_linear(prefix):  # HF Conv1D: weight (in, out)
+        return {"w": sd[f"{prefix}.weight"], "b": sd[f"{prefix}.bias"]}
+
+    p: Dict[str, Any] = {
+        "cond_encoder": convert_conformer(sd, num_blocks=cond_blocks,
+                                          prefix="conditioning_encoder."),
+        "perceiver": convert_perceiver(sd, prefix="perceiver_encoder."),
+        "text_emb": {"w": sd["text_embedding.weight"]},
+        "mel_emb": {"w": sd["mel_embedding.weight"]},
+        "text_pos": {"w": sd["text_pos_embedding.emb.weight"]},
+        "mel_pos": {"w": sd["mel_pos_embedding.emb.weight"]},
+        "blocks": [],
+        "ln_f": _ln(sd, "gpt.ln_f"),
+        "final_norm": _ln(sd, "final_norm"),
+        "text_head": _linear(sd, "text_head"),
+        "mel_head": _linear(sd, "mel_head"),
+    }
+    for i in range(layers):
+        b = f"gpt.h.{i}"
+        p["blocks"].append({
+            "ln1": _ln(sd, f"{b}.ln_1"),
+            "attn": {"qkv": conv1d_linear(f"{b}.attn.c_attn"),
+                     "proj": conv1d_linear(f"{b}.attn.c_proj")},
+            "ln2": _ln(sd, f"{b}.ln_2"),
+            "mlp": {"fc": conv1d_linear(f"{b}.mlp.c_fc"),
+                    "proj": conv1d_linear(f"{b}.mlp.c_proj")},
+        })
+    return p
+
+
 # --- BigVGAN generator ------------------------------------------------------
 
 def convert_bigvgan(sd: StateDict, num_upsamples: int = 6,

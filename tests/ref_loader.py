@@ -23,7 +23,9 @@ def load_reference():
     try:
         import torchaudio  # noqa: F401
     except Exception:
+        import importlib.machinery
         ta = types.ModuleType("torchaudio")
+        ta.__spec__ = importlib.machinery.ModuleSpec("torchaudio", None)
         ta.functional = types.ModuleType("torchaudio.functional")
         ta.transforms = types.ModuleType("torchaudio.transforms")
         sys.modules["torchaudio"] = ta
