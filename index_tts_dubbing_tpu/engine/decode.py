@@ -46,8 +46,8 @@ class SamplingConfig:
     fake_prefix_id: int = 1
 
 
-def prepare_prefix_host(cfg: GPTConfig, texts: Sequence[np.ndarray]
-                        ) -> Dict[str, np.ndarray]:
+def prepare_prefix_host(cfg: GPTConfig, texts: Sequence[np.ndarray],
+                        pad_to: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Host-side prefix layout. For each row: strip any start/stop tokens,
     re-frame as [start, text, stop], left-pad to the common target length.
     Returns ids/pos/seg arrays of shape (B, 32+L+2) that the device embedding
@@ -61,7 +61,11 @@ def prepare_prefix_host(cfg: GPTConfig, texts: Sequence[np.ndarray]
         rows.append(np.concatenate([[cfg.start_text_token], t,
                                     [cfg.stop_text_token]]).astype(np.int32))
     # reference pads every row to the *unstripped* common width + 2
-    # (model.py:614: target_len = cond + L + 2)
+    # (model.py:614: target_len = cond + L + 2). ``pad_to`` widens to a
+    # static bucket width — extra left-padding is attention-masked, so
+    # outputs are identical (the reference's padding-invariance contract).
+    if pad_to is not None:
+        l_raw = max(l_raw, pad_to)
     lmax = l_raw + 2
     b = len(rows)
     target = cond_n + lmax

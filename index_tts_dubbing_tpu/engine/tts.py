@@ -1,0 +1,432 @@
+"""IndexTTS-TPU inference engine: end-to-end zero-shot TTS orchestration.
+
+Behavioural spec: indextts/infer.py (class IndexTTS: infer 500-660,
+infer_fast 278-497, remove_long_silence 132-186, bucket_sentences 188-243,
+pad_tokens_cat 245-262). Redesigned TPU-first:
+
+- HF `generate` → jitted while_loop decode (engine/decode.py);
+- variable shapes → static bucket shapes everywhere (text-width buckets for
+  the decode prefix; masked-pad buckets for the latent pass — numerically
+  exact, see models/gpt.py:forward_latent_bucketed);
+- chunked vocoding → windowed streaming vocoder (engine/vocoder.py), one
+  compile for any utterance length;
+- per-stage wall-clock + RTF accounting kept (infer.py:632-642).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from index_tts_dubbing_tpu.engine import decode as decode_mod
+from index_tts_dubbing_tpu.engine.decode import SamplingConfig
+from index_tts_dubbing_tpu.engine.vocoder import WindowedVocoder
+from index_tts_dubbing_tpu.models import bigvgan as bigvgan_model
+from index_tts_dubbing_tpu.models import gpt as gpt_model
+from index_tts_dubbing_tpu.ops.mel import MelSpectrogram
+from index_tts_dubbing_tpu.utils import audio as audio_util
+from index_tts_dubbing_tpu.utils.checkpoint import load_params
+from index_tts_dubbing_tpu.utils.config import EngineConfig, load_config
+from index_tts_dubbing_tpu.utils.front import TextNormalizer, TextTokenizer
+
+
+def remove_long_silence(codes: np.ndarray, stop_mel_token: int = 8193,
+                        silent_token: int = 52, max_consecutive: int = 30
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Trim at the stop token and cap runs of the silence code at 10.
+    Host-side port of infer.py:132-186 (same per-row semantics)."""
+    out_rows: List[np.ndarray] = []
+    lens: List[int] = []
+    for row in np.asarray(codes):
+        stops = np.nonzero(row == stop_mel_token)[0]
+        ln = int(stops[0]) if stops.size else row.size
+        if int(np.sum(row == silent_token)) > max_consecutive:
+            kept = []
+            run = 0
+            for k in range(ln):
+                if row[k] != silent_token:
+                    kept.append(k)
+                    run = 0
+                elif run < 10:
+                    kept.append(k)
+                    run += 1
+            row = row[kept]
+            ln = len(kept)
+        else:
+            row = row[:ln]
+        out_rows.append(row)
+        lens.append(ln)
+    max_len = max(lens) if lens else 0
+    padded = np.full((len(out_rows), max_len), stop_mel_token, codes.dtype)
+    for i, r in enumerate(out_rows):
+        padded[i, : r.size] = r
+    return padded, np.asarray(lens, np.int64)
+
+
+def bucket_sentences(sentences: Sequence, bucket_max_size: int = 4
+                     ) -> List[List[Dict]]:
+    """Length-sorted sentence bucketing (port of infer.py:188-243)."""
+    outputs = [{"idx": i, "sent": s, "len": len(s)}
+               for i, s in enumerate(sentences)]
+    if len(outputs) <= bucket_max_size:
+        return [outputs]
+    buckets: List[List[Dict]] = []
+    factor = 1.5
+    last_bucket = None
+    last_median = 0
+    for sent in sorted(outputs, key=lambda x: x["len"]):
+        if sent["len"] == 0:
+            continue
+        if (last_bucket is None or sent["len"] >= int(last_median * factor)
+                or len(last_bucket) >= bucket_max_size):
+            buckets.append([sent])
+            last_bucket = buckets[-1]
+            last_median = sent["len"]
+        else:
+            last_bucket.append(sent)
+            last_median = last_bucket[len(last_bucket) // 2]["len"]
+    out_buckets: List[List[Dict]] = []
+    only_ones: List[Dict] = []
+    for b in buckets:
+        (only_ones if len(b) == 1 else out_buckets).append(
+            b[0] if len(b) == 1 else b)
+    if only_ones:
+        for b in out_buckets:
+            if len(b) < bucket_max_size:
+                b.append(only_ones.pop(0))
+                if not only_ones:
+                    break
+        if only_ones:
+            out_buckets.extend(
+                only_ones[i:i + bucket_max_size]
+                for i in range(0, len(only_ones), bucket_max_size))
+    return out_buckets
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+_latent_jit = partial(jax.jit, static_argnames=("cfg",))(
+    gpt_model.forward_latent_bucketed)
+_cond_jit = partial(jax.jit, static_argnames=("cfg",))(
+    gpt_model.get_conditioning)
+
+
+class CharTokenizer:
+    """Fallback tokenizer when no bpe.model ships with the checkpoints:
+    deterministic codepoint hashing into the text-token space. Keeps the
+    TextTokenizer interface subset the engine uses."""
+
+    punctuation_marks_tokens = [".", "!", "?", "…"]
+
+    def __init__(self, vocab_size: int = 12000,
+                 normalizer: Optional[TextNormalizer] = None):
+        self.vocab_size = vocab_size
+        self.normalizer = normalizer
+        if normalizer:
+            normalizer.load()
+
+    def tokenize(self, text: str) -> List[str]:
+        if self.normalizer:
+            text = self.normalizer.normalize(text)
+        return [c for c in text if not c.isspace()]
+
+    def convert_tokens_to_ids(self, tokens) -> List[int]:
+        if isinstance(tokens, str):
+            tokens = [tokens]
+        return [2 + (ord(t[0]) % (self.vocab_size - 3)) for t in tokens]
+
+    def split_sentences(self, tokens: List[str],
+                        max_tokens_per_sentence: int = 120) -> List[List[str]]:
+        return TextTokenizer.split_sentences_by_token(
+            tokens, self.punctuation_marks_tokens, max_tokens_per_sentence)
+
+
+@dataclass
+class StageTimes:
+    gpt_gen: float = 0.0
+    gpt_forward: float = 0.0
+    bigvgan: float = 0.0
+    total: float = 0.0
+    audio_seconds: float = 0.0
+
+    @property
+    def rtf(self) -> float:
+        return self.total / max(self.audio_seconds, 1e-9)
+
+
+class IndexTTS:
+    """TPU-native engine with the reference's public API surface
+    (IndexTTS(cfg_path, model_dir).infer / .infer_fast)."""
+
+    TEXT_BUCKETS = (16, 32, 48, 64, 80, 96, 120)
+    CODE_BUCKETS = (64, 128, 192, 256, 384, 512, 608)
+
+    def __init__(self, cfg_path: Optional[str] = None,
+                 model_dir: Optional[str] = None, is_fp16: bool = False,
+                 device=None, use_cuda_kernel=None,
+                 config: Optional[EngineConfig] = None,
+                 params: Optional[Dict[str, Any]] = None,
+                 use_pallas: bool = False, seed: int = 0,
+                 verbose_init: bool = True):
+        self.cfg = (config if config is not None
+                    else load_config(cfg_path) if cfg_path
+                    else EngineConfig())
+        if use_pallas:
+            import dataclasses
+            self.cfg = dataclasses.replace(
+                self.cfg, bigvgan=dataclasses.replace(self.cfg.bigvgan,
+                                                      use_pallas=True))
+        self.gpt_cfg = self.cfg.gpt
+        self.bigvgan_cfg = self.cfg.bigvgan
+        self.dtype = jnp.bfloat16 if is_fp16 else jnp.float32
+        self.stop_mel_token = self.gpt_cfg.stop_mel_token
+        self.model_dir = Path(model_dir) if model_dir else None
+        self.model_version = self.cfg.version
+
+        self.params = params if params is not None else self._load_params(seed)
+        self._log = print if verbose_init else (lambda *a, **k: None)
+
+        self.normalizer = TextNormalizer()
+        self.normalizer.load()
+        self.tokenizer = self._load_tokenizer()
+        self.mel_fn = MelSpectrogram(
+            sample_rate=self.cfg.mel.sample_rate, n_fft=self.cfg.mel.n_fft,
+            hop_length=self.cfg.mel.hop_length,
+            win_length=self.cfg.mel.win_length, n_mels=self.cfg.mel.n_mels)
+        self.vocoder = WindowedVocoder(self.params["bigvgan"], self.bigvgan_cfg)
+        self.cache_audio_prompt = None
+        self.cache_cond_mel = None
+        self.gr_progress = None
+        self._rng = jax.random.PRNGKey(seed)
+
+    # ------------------------------------------------------------------
+    def _load_params(self, seed: int) -> Dict[str, Any]:
+        if self.model_dir is not None:
+            npz_gpt = self.model_dir / "gpt.npz"
+            npz_bv = self.model_dir / "bigvgan.npz"
+            if npz_gpt.exists() and npz_bv.exists():
+                return {"gpt": load_params(npz_gpt),
+                        "bigvgan": load_params(npz_bv)}
+            pth_gpt = self.model_dir / self.cfg.gpt_checkpoint
+            pth_bv = self.model_dir / self.cfg.bigvgan_checkpoint
+            if pth_gpt.exists() and pth_bv.exists():
+                from index_tts_dubbing_tpu.utils.convert import (
+                    convert_bigvgan, convert_unified_voice,
+                    load_torch_state_dict)
+                return {
+                    "gpt": convert_unified_voice(
+                        load_torch_state_dict(str(pth_gpt)),
+                        layers=self.gpt_cfg.layers,
+                        cond_blocks=self.gpt_cfg.cond_num_blocks),
+                    "bigvgan": convert_bigvgan(
+                        load_torch_state_dict(str(pth_bv)),
+                        num_upsamples=self.bigvgan_cfg.num_upsamples,
+                        num_kernels=self.bigvgan_cfg.num_kernels),
+                }
+        # no checkpoints: random init (benches / smoke runs)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        return {"gpt": gpt_model.init(k1, self.gpt_cfg),
+                "bigvgan": bigvgan_model.init(k2, self.bigvgan_cfg)}
+
+    def _load_tokenizer(self):
+        if self.model_dir is not None:
+            bpe = self.model_dir / self.cfg.bpe_model
+            if bpe.exists():
+                return TextTokenizer(str(bpe), self.normalizer)
+        return CharTokenizer(self.gpt_cfg.number_text_tokens, self.normalizer)
+
+    # ------------------------------------------------------------------
+    def _cond_mel(self, audio_prompt) -> jnp.ndarray:
+        if (self.cache_cond_mel is None
+                or self.cache_audio_prompt != audio_prompt):
+            wav = audio_util.load_audio_mean_mono(
+                audio_prompt, self.cfg.mel.sample_rate)
+            mel = np.asarray(self.mel_fn(wav))  # (1, n_mels, T)
+            self.cache_audio_prompt = audio_prompt
+            self.cache_cond_mel = mel
+        return self.cache_cond_mel
+
+    def set_cond_mel(self, mel: np.ndarray, key: str = "<direct>") -> None:
+        """Inject a conditioning mel directly ((1, n_mels, T))."""
+        self.cache_audio_prompt = key
+        self.cache_cond_mel = np.asarray(mel)
+
+    def _conditioning(self, cond_mel: np.ndarray) -> jnp.ndarray:
+        lens = np.array([cond_mel.shape[-1]], np.int64)
+        return _cond_jit(self.params["gpt"], self.gpt_cfg,
+                         jnp.asarray(cond_mel.transpose(0, 2, 1)), lens)
+
+    def _next_key(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def _sampling_config(self, kw: Dict[str, Any]) -> SamplingConfig:
+        return SamplingConfig(
+            do_sample=kw.pop("do_sample", True),
+            top_p=kw.pop("top_p", 0.8),
+            top_k=kw.pop("top_k", 30),
+            temperature=kw.pop("temperature", 1.0),
+            repetition_penalty=kw.pop("repetition_penalty", 10.0),
+            max_mel_tokens=kw.pop("max_mel_tokens", 600),
+        )
+
+    def _decode_batch(self, conds, token_rows: List[np.ndarray],
+                      sc: SamplingConfig) -> Tuple[np.ndarray, np.ndarray]:
+        """AR decode for a batch of token rows at bucketed static shapes."""
+        lmax = max(r.size for r in token_rows)
+        pad_to = next((b for b in self.TEXT_BUCKETS if b >= lmax), lmax)
+        pre = decode_mod.prepare_prefix_host(self.gpt_cfg, token_rows,
+                                             pad_to=pad_to)
+        emb, keep = decode_mod.build_prefix_emb(
+            self.params["gpt"], self.gpt_cfg, conds,
+            pre["ids"], pre["pos"], pre["seg"], pre["cond_idx"])
+        res = decode_mod.generate(self.params["gpt"], self.gpt_cfg, sc,
+                                  emb, keep, self._next_key())
+        return np.asarray(res.codes), np.asarray(res.lengths)
+
+    def _latents(self, conds, text_tokens: np.ndarray, codes: np.ndarray,
+                 code_len: int) -> np.ndarray:
+        """Latent pass for one row at bucketed static shapes; returns
+        (code_len, C)."""
+        lt = text_tokens.size
+        lb = next((b for b in self.TEXT_BUCKETS if b >= lt), lt)
+        lb = min(lb, self.gpt_cfg.max_text_tokens)
+        lb = max(lb, lt)
+        mb = next((b for b in self.CODE_BUCKETS if b >= code_len), code_len)
+        mb = min(mb, self.gpt_cfg.max_mel_tokens)
+        mb = max(mb, code_len)
+        text = np.full((1, lb), self.gpt_cfg.stop_text_token, np.int32)
+        text[0, :lt] = text_tokens
+        cpad = np.full((1, mb), self.stop_mel_token, np.int32)
+        cpad[0, :code_len] = codes[:code_len]
+        lat = _latent_jit(self.params["gpt"], self.gpt_cfg, conds,
+                          jnp.asarray(text), jnp.asarray(np.array([lt])),
+                          jnp.asarray(cpad),
+                          jnp.asarray(np.array([code_len])))
+        return np.asarray(lat)[0, :code_len]
+
+    # ------------------------------------------------------------------
+    def _set_gr_progress(self, value, desc):
+        if self.gr_progress is not None:
+            self.gr_progress(value, desc=desc)
+
+    def infer(self, audio_prompt, text, output_path=None, verbose=False,
+              max_text_tokens_per_sentence=120, **generation_kwargs):
+        """Sequential per-sentence synthesis (reference infer, infer.py:500)."""
+        start_time = time.perf_counter()
+        times = StageTimes()
+        cond_mel = self._cond_mel(audio_prompt)
+        conds = self._conditioning(cond_mel)
+        sc = self._sampling_config(generation_kwargs)
+
+        tokens = self.tokenizer.tokenize(text)
+        sentences = self.tokenizer.split_sentences(
+            tokens, max_text_tokens_per_sentence)
+        if verbose:
+            print(f">> {len(tokens)} tokens, {len(sentences)} sentences")
+        sr = self.cfg.mel.sample_rate
+        wavs = []
+        spk = self.vocoder.speaker_embedding(
+            jnp.asarray(cond_mel.transpose(0, 2, 1)))
+        for sent in sentences:
+            ids = np.asarray(self.tokenizer.convert_tokens_to_ids(sent),
+                             np.int32)
+            t0 = time.perf_counter()
+            codes, _ = self._decode_batch(conds, [ids], sc)
+            times.gpt_gen += time.perf_counter() - t0
+            codes, code_lens = remove_long_silence(
+                codes, self.stop_mel_token)
+            t0 = time.perf_counter()
+            latent = self._latents(conds, ids, codes[0], int(code_lens[0]))
+            times.gpt_forward += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            wav = self.vocoder(latent, spk=spk)
+            times.bigvgan += time.perf_counter() - t0
+            wavs.append(np.clip(wav * 32767.0, -32767.0, 32767.0))
+        wav = np.concatenate(wavs) if wavs else np.zeros(0, np.float32)
+        times.total = time.perf_counter() - start_time
+        times.audio_seconds = wav.size / sr
+        self._report(times)
+        return self._emit(wav, sr, output_path)
+
+    def infer_fast(self, audio_prompt, text, output_path=None, verbose=False,
+                   max_text_tokens_per_sentence=100,
+                   sentences_bucket_max_size=4, **generation_kwargs):
+        """Bucketed batched synthesis (reference infer_fast, infer.py:278)."""
+        start_time = time.perf_counter()
+        times = StageTimes()
+        cond_mel = self._cond_mel(audio_prompt)
+        conds = self._conditioning(cond_mel)
+        sc = self._sampling_config(generation_kwargs)
+
+        tokens = self.tokenizer.tokenize(text)
+        sentences = self.tokenizer.split_sentences(
+            tokens, max_text_tokens_per_sentence)
+        buckets = bucket_sentences(sentences,
+                                  bucket_max_size=sentences_bucket_max_size)
+        if verbose:
+            print(f">> {len(sentences)} sentences in {len(buckets)} buckets")
+        sr = self.cfg.mel.sample_rate
+        spk = self.vocoder.speaker_embedding(
+            jnp.asarray(cond_mel.transpose(0, 2, 1)))
+
+        all_idx: List[int] = []
+        all_latents: List[np.ndarray] = []
+        for bucket in buckets:
+            rows = [np.asarray(
+                self.tokenizer.convert_tokens_to_ids(item["sent"]), np.int32)
+                for item in bucket]
+            t0 = time.perf_counter()
+            codes, _ = self._decode_batch(conds, rows, sc)
+            times.gpt_gen += time.perf_counter() - t0
+            for i, item in enumerate(bucket):
+                row_codes, row_lens = remove_long_silence(
+                    codes[i:i + 1], self.stop_mel_token)
+                t0 = time.perf_counter()
+                latent = self._latents(conds, rows[i], row_codes[0],
+                                       int(row_lens[0]))
+                times.gpt_forward += time.perf_counter() - t0
+                all_idx.append(item["idx"])
+                all_latents.append(latent)
+        # restore order, stitch latents, windowed vocode over the whole stream
+        order = np.argsort(all_idx)
+        latents = [all_latents[i] for i in order]
+        bounds = np.cumsum([0] + [l.shape[0] for l in latents])
+        t0 = time.perf_counter()
+        if latents:
+            latent_stream = np.concatenate(latents, axis=0)
+            wav = self.vocoder(latent_stream, spk=spk)
+        else:
+            wav = np.zeros(0, np.float32)
+        times.bigvgan += time.perf_counter() - t0
+        wav = np.clip(wav * 32767.0, -32767.0, 32767.0)
+        times.total = time.perf_counter() - start_time
+        times.audio_seconds = wav.size / sr
+        self._report(times, fast=True)
+        return self._emit(wav, sr, output_path)
+
+    # ------------------------------------------------------------------
+    def _report(self, times: StageTimes, fast: bool = False) -> None:
+        tag = "[fast] " if fast else ""
+        print(f">> {tag}gpt_gen_time: {times.gpt_gen:.2f} s")
+        print(f">> {tag}gpt_forward_time: {times.gpt_forward:.2f} s")
+        print(f">> {tag}bigvgan_time: {times.bigvgan:.2f} s")
+        print(f">> {tag}Total inference time: {times.total:.2f} s")
+        print(f">> {tag}Generated audio length: {times.audio_seconds:.2f} s")
+        print(f">> {tag}RTF: {times.rtf:.4f}")
+        self.last_times = times
+
+    def _emit(self, wav: np.ndarray, sr: int, output_path):
+        wav_i16 = wav.astype(np.int16)
+        if output_path:
+            audio_util.write_wav(output_path, wav_i16, sr)
+            return output_path
+        return sr, wav_i16[None, :].T  # gradio-style (T, C)

@@ -267,6 +267,63 @@ def forward_latent(params: Params, cfg: GPTConfig, conds: jnp.ndarray,
     return mel_latent[:, :-2]
 
 
+def forward_latent_bucketed(params: Params, cfg: GPTConfig, conds: jnp.ndarray,
+                            text_ids: jnp.ndarray, text_lens: jnp.ndarray,
+                            codes: jnp.ndarray, code_lens: jnp.ndarray
+                            ) -> jnp.ndarray:
+    """Static-bucket-shape latent pass, **numerically identical** to the
+    exact-shape reference computation for positions < code_len per row:
+
+    - text is framed [start, tokens, stop] and RIGHT-aligned inside its
+      padded block; pad positions are masked out of attention entirely, so
+      real positions see exactly the unpadded sequence;
+    - mel-code padding beyond code_len+1 becomes stop tokens (the reference's
+      set_mel_padding) and, by causality, never influences kept latents.
+
+    Inputs may be padded to any bucket width; returns (B, M_pad, C).
+    """
+    b, lt = text_ids.shape
+    m = codes.shape[1]
+    cond_n = conds.shape[1]
+    width = lt + 2
+    # right-aligned framed text + positions + keep mask
+    pos_in_block = jnp.arange(width)[None, :]                  # (1, width)
+    pad = width - (text_lens + 2)                              # (B,)
+    rel = pos_in_block - pad[:, None]                          # index in framed row
+    framed_len = text_lens + 2
+    keep_text = rel >= 0
+    # framed row r: r==0 -> start; 1..len -> tokens; len+1 -> stop
+    tok_idx = jnp.clip(rel - 1, 0, lt - 1)
+    gathered = jnp.take_along_axis(text_ids, tok_idx, axis=1)
+    # apply set_text_padding semantics inside the row (pads→stop handled by
+    # framing; tokens beyond text_lens never appear because rel<len+1 bounds)
+    framed = jnp.where(rel == 0, cfg.start_text_token,
+                       jnp.where(rel == framed_len[:, None] - 1,
+                                 cfg.stop_text_token, gathered))
+    framed = jnp.where(keep_text, framed, cfg.stop_text_token)
+    text_pos = jnp.clip(rel, 0, cfg.max_text_seq - 1)
+    text_emb = (nn.embedding(params["text_emb"], framed)
+                + jnp.take(params["text_pos"]["w"], text_pos, axis=0))
+    text_emb = jnp.where(keep_text[..., None], text_emb, 0.0)
+
+    mpos = jnp.arange(m)[None, :]
+    mel = jnp.where(mpos < (code_lens + 1)[:, None], codes, cfg.stop_mel_token)
+    mel = jnp.pad(mel, ((0, 0), (0, 1)), constant_values=cfg.stop_mel_token)
+    mel = jnp.pad(mel, ((0, 0), (1, 0)), constant_values=cfg.start_mel_token)
+    mel_emb = (nn.embedding(params["mel_emb"], mel)
+               + params["mel_pos"]["w"][None, :mel.shape[1]])
+
+    emb = jnp.concatenate([conds.astype(text_emb.dtype), text_emb, mel_emb],
+                          axis=1)
+    keep = jnp.concatenate(
+        [jnp.ones((b, cond_n), bool), keep_text,
+         jnp.ones((b, mel.shape[1]), bool)], axis=1)
+    h = trunk_forward(params, cfg, emb, pad_keep=keep)
+    enc = nn.layer_norm(params["final_norm"], h[:, cond_n:])
+    mel_latent = enc[:, -mel.shape[1]:]
+    return mel_latent[:, :-2]
+
+
 def forward_train(params: Params, cfg: GPTConfig, mel_cond: jnp.ndarray,
                   cond_lens: jnp.ndarray, text_ids: jnp.ndarray,
                   text_lens: jnp.ndarray, codes: jnp.ndarray,

@@ -1,0 +1,100 @@
+"""End-to-end engine tests on a small random-weight model: infer/infer_fast
+produce audio; latent bucketing is numerically exact; silence removal and
+bucketing match the reference algorithms."""
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from index_tts_dubbing_tpu.engine.tts import (
+    IndexTTS, bucket_sentences, remove_long_silence)
+from index_tts_dubbing_tpu.models.bigvgan import BigVGANConfig
+from index_tts_dubbing_tpu.models.gpt import GPTConfig
+from index_tts_dubbing_tpu.utils.config import EngineConfig, MelConfig
+
+
+def small_config():
+    gpt = GPTConfig(model_dim=64, layers=2, heads=4, max_mel_tokens=60,
+                    max_text_tokens=50, number_text_tokens=120,
+                    cond_output_size=32, cond_linear_units=64,
+                    cond_attention_heads=4, cond_num_blocks=2)
+    bv = BigVGANConfig(gpt_dim=64, upsample_initial_channel=128)
+    return EngineConfig(mel=MelConfig(), gpt=gpt, bigvgan=bv)
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    eng = IndexTTS(config=small_config(), verbose_init=False)
+    return eng
+
+
+def _prompt_wav(tmp_path):
+    from index_tts_dubbing_tpu.utils.audio import write_wav
+    rng = np.random.default_rng(1)
+    wav = (rng.standard_normal(24000) * 0.1).astype(np.float32)
+    p = tmp_path / "prompt.wav"
+    write_wav(p, wav, 24000)
+    return p
+
+
+def test_remove_long_silence():
+    codes = np.array([[5, 8193, 7, 7]])
+    out, lens = remove_long_silence(codes)
+    assert lens[0] == 1 and out.shape[1] == 1
+    row = np.concatenate([np.full(40, 52), [9], np.full(5, 52), [8193]])
+    out, lens = remove_long_silence(row[None, :])
+    # 40 x silence capped at 10, then 9, then 5 silence kept
+    assert lens[0] == 10 + 1 + 5
+
+
+def test_bucket_sentences():
+    sents = ["a" * n for n in (5, 6, 7, 30, 31, 2, 3, 40)]
+    buckets = bucket_sentences(sents, bucket_max_size=4)
+    all_idx = sorted(i["idx"] for b in buckets for i in b)
+    assert all_idx == list(range(len(sents)))
+    for b in buckets:
+        assert 1 <= len(b) <= 4
+
+
+def test_infer_e2e(engine, tmp_path):
+    p = _prompt_wav(tmp_path)
+    out = tmp_path / "out.wav"
+    res = engine.infer(str(p), "ab ab ab.", str(out),
+                       max_mel_tokens=16, do_sample=False)
+    assert res == str(out)
+    from index_tts_dubbing_tpu.utils.audio import read_wav
+    wav, sr = read_wav(out)
+    assert sr == 24000
+    assert wav.shape[1] > 0
+    assert engine.last_times.audio_seconds > 0
+
+
+def test_infer_fast_e2e(engine, tmp_path):
+    p = _prompt_wav(tmp_path)
+    sr, wav = engine.infer_fast(str(p), "ab ab. cd cd. ef ef.", None,
+                                max_mel_tokens=16, do_sample=False)
+    assert sr == 24000 and wav.size > 0
+
+
+def test_latent_bucketing_exact(engine, rng):
+    """forward_latent_bucketed with padded buckets == exact-shape
+    forward_latent on the valid region."""
+    import jax.numpy as jnp
+    from index_tts_dubbing_tpu.models import gpt as jgpt
+    cfg = engine.gpt_cfg
+    params = engine.params["gpt"]
+    conds = jnp.asarray(rng.standard_normal((1, 32, 64)).astype(np.float32))
+    text = rng.integers(2, 100, size=(1, 9)).astype(np.int32)
+    codes = rng.integers(0, 8192, size=(1, 14)).astype(np.int32)
+    exact = np.asarray(jgpt.forward_latent(
+        params, cfg, conds, text, np.array([9]), codes, np.array([12])))
+    # padded: text→16, codes→24
+    tp = np.full((1, 16), cfg.stop_text_token, np.int32)
+    tp[0, :9] = text[0]
+    cp = np.full((1, 24), cfg.stop_mel_token, np.int32)
+    cp[0, :14] = codes[0]
+    bucketed = np.asarray(jgpt.forward_latent_bucketed(
+        params, cfg, conds, tp, np.array([9]), cp, np.array([12])))
+    np.testing.assert_allclose(bucketed[0, :12], exact[0, :12],
+                               atol=2e-5, rtol=1e-4)
