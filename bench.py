@@ -1,0 +1,98 @@
+"""Headline benchmark: end-to-end TTS RTF on one chip.
+
+Runs the flagship IndexTTS-1.5-sized pipeline (conditioning → AR decode →
+latent pass → windowed vocoder) on a fixed synthetic workload and prints ONE
+JSON line:  {"metric": "rtf", "value": ..., "unit": ..., "vs_baseline": ...}
+
+vs_baseline is measured against the driver target RTF < 0.05
+(BASELINE.md: "Per-chip speed: RTF < 0.05") — values > 1.0 beat the target.
+
+Random weights are used (no public checkpoints ship with the reference);
+decode length is fixed by max_mel_tokens so the workload is deterministic
+and timing-representative: the same matmuls/kernels run as with real
+weights.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from index_tts_dubbing_tpu.engine import decode as decode_mod
+    from index_tts_dubbing_tpu.engine.tts import IndexTTS, remove_long_silence
+    from index_tts_dubbing_tpu.utils.config import EngineConfig
+
+    fp16 = "--fp32" not in sys.argv
+    engine = IndexTTS(config=EngineConfig(), is_fp16=fp16,
+                      verbose_init=False, seed=0)
+
+    sr = engine.cfg.mel.sample_rate
+    rng = np.random.default_rng(0)
+
+    # synthetic workload: 5 s reference prompt, 4 sentences x 48 text tokens,
+    # 192 mel codes each (≈8.2 s audio per sentence)
+    cond_mel = rng.standard_normal((1, 100, 470)).astype(np.float32)
+    engine.set_cond_mel(cond_mel)
+    batch = 4
+    n_text = 48
+    steps = 192
+    rows = [rng.integers(2, 12000, size=n_text).astype(np.int32)
+            for _ in range(batch)]
+
+    sc = engine._sampling_config(dict(do_sample=True, max_mel_tokens=steps))
+    conds = engine._conditioning(cond_mel)
+    spk = engine.vocoder.speaker_embedding(
+        jnp.asarray(cond_mel.transpose(0, 2, 1)))
+
+    def run_once():
+        t0 = time.perf_counter()
+        codes, lens = engine._decode_batch(conds, rows, sc)
+        t_decode = time.perf_counter() - t0
+        total_codes = 0
+        t_latent = t_vocode = 0.0
+        wav_samples = 0
+        for i in range(batch):
+            row_codes, row_lens = remove_long_silence(
+                codes[i:i + 1], engine.stop_mel_token)
+            n = int(row_lens[0])
+            total_codes += n
+            t0 = time.perf_counter()
+            latent = engine._latents(conds, rows[i], row_codes[0], n)
+            t_latent += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            wav = engine.vocoder(latent, spk=spk)
+            t_vocode += time.perf_counter() - t0
+            wav_samples += wav.size
+        return t_decode, t_latent, t_vocode, total_codes, wav_samples
+
+    run_once()  # warmup: compiles every static shape
+    t_decode, t_latent, t_vocode, total_codes, wav_samples = run_once()
+
+    total = t_decode + t_latent + t_vocode
+    audio_s = wav_samples / sr
+    rtf = total / audio_s
+    decode_tok_s = batch * steps / t_decode
+    vocoder_rtf = t_vocode / audio_s
+
+    print(json.dumps({
+        "metric": "rtf",
+        "value": round(rtf, 5),
+        "unit": "sec_compute_per_sec_audio",
+        "vs_baseline": round(0.05 / rtf, 3),
+        "detail": {
+            "decode_tokens_per_s": round(decode_tok_s, 1),
+            "vocoder_rtf": round(vocoder_rtf, 5),
+            "audio_seconds_per_s_per_chip": round(audio_s / total, 2),
+            "dtype": "bf16" if fp16 else "fp32",
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""IndexTTS engine adapter for the dubbing layer.
+
+Spec: srt_dubbing/src/tts_engines/index_tts_engine.py — wraps
+IndexTTS.infer(output_path=None), int16→float32 normalisation, and
+duration-targeted synthesis. The reference's duration control bisects HF beam
+``length_penalty`` (≤5 full re-syntheses, index_tts_engine.py:70-107); the
+TPU redesign controls duration directly: the mel-token budget is derived from
+the target duration (1 code = 1024 samples), re-sampling once with a tighter
+cap if the first attempt overshoots — cheaper and deterministic.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from index_tts_dubbing_tpu.dubbing.config import AUDIO, IndexTTSConfig
+from index_tts_dubbing_tpu.dubbing.engines.base import BaseTTSEngine
+from index_tts_dubbing_tpu.dubbing.logger import get_logger
+
+
+class IndexTTSEngine(BaseTTSEngine):
+    _INFER_KWARGS = {"do_sample", "top_p", "top_k", "temperature",
+                     "repetition_penalty", "max_mel_tokens",
+                     "max_text_tokens_per_sentence"}
+
+    def __init__(self, engine=None, **init_kwargs):
+        from index_tts_dubbing_tpu.engine.tts import IndexTTS
+        if engine is not None:
+            self.tts = engine
+        else:
+            kwargs = {**IndexTTSConfig.get_init_kwargs(), **init_kwargs}
+            self.tts = IndexTTS(**kwargs)
+
+    def _filter_kwargs(self, kwargs):
+        return {k: v for k, v in kwargs.items() if k in self._INFER_KWARGS}
+
+    def synthesize(self, text: str, **kwargs) -> Tuple[np.ndarray, int]:
+        voice_reference = kwargs.get("voice_reference")
+        if not voice_reference:
+            raise ValueError("voice_reference is required")
+        sr, wav = self.tts.infer(voice_reference, text, None,
+                                 **self._filter_kwargs(kwargs))
+        audio = wav.flatten().astype(np.float32) / AUDIO.AUDIO_NORMALIZATION_FACTOR
+        return audio, sr
+
+    def synthesize_to_duration(self, text: str, target_duration: float,
+                               **kwargs) -> Tuple[np.ndarray, int]:
+        log = get_logger()
+        audio, sr = self.synthesize(text, **kwargs)
+        dur = len(audio) / sr
+        if dur <= target_duration + 0.1:
+            return audio, sr
+        # overshoot: cap the mel-token budget to the target duration
+        compression = self.tts.gpt_cfg.mel_length_compression
+        budget = max(8, int(target_duration * self.tts.cfg.mel.sample_rate
+                            / compression))
+        log.debug(f"duration overshoot ({dur:.2f}s > {target_duration:.2f}s); "
+                  f"re-synthesising with mel budget {budget}")
+        kw = dict(kwargs)
+        kw["max_mel_tokens"] = budget
+        return self.synthesize(text, **kw)
