@@ -42,6 +42,11 @@ class SamplingConfig:
     top_p: float = 0.8
     repetition_penalty: float = 10.0
     max_mel_tokens: int = 600
+    # locally-typical sampling (utils/typical_sampling.py:4-30, opt-in at
+    # model.py:692-696); applied between the repetition penalty and the
+    # temperature/top-k/top-p warpers, matching HF processor order.
+    typical_sampling: bool = False
+    typical_mass: float = 0.9
     # HF fake-prefix ids seen by the repetition penalty (all-ones input_ids).
     fake_prefix_id: int = 1
 
@@ -106,6 +111,30 @@ def build_prefix_emb(params: Dict[str, Any], cfg: GPTConfig,
     return emb.astype(conds.dtype), pad_keep
 
 
+def _typical_filter(logits: jnp.ndarray, mass: float,
+                    min_tokens_to_keep: int = 1) -> jnp.ndarray:
+    """Locally-typical filtering: keep tokens whose |surprisal − entropy| is
+    smallest, up to cumulative probability ``mass``. Matches the reference's
+    TypicalLogitsWarper semantics."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(logp)
+    ent = -jnp.sum(jnp.where(p > 0, logp * p, 0.0), axis=-1, keepdims=True)
+    shifted = jnp.abs(-logp - ent)
+    order = jnp.argsort(shifted, axis=-1)  # ascending: most typical first
+    sorted_logits = jnp.take_along_axis(logits, order, axis=-1)
+    sorted_shifted = jnp.take_along_axis(shifted, order, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    last_ind = jnp.maximum(jnp.sum(cum < mass, axis=-1), 0)
+    cutoff = jnp.take_along_axis(sorted_shifted, last_ind[..., None], axis=-1)
+    remove = shifted > cutoff
+    if min_tokens_to_keep > 1:
+        keep_cut = jnp.take_along_axis(
+            sorted_shifted, jnp.full_like(last_ind, min_tokens_to_keep - 1
+                                          )[..., None], axis=-1)
+        remove = remove & (shifted > keep_cut)
+    return jnp.where(remove, -jnp.inf, logits)
+
+
 def _process_logits(logits: jnp.ndarray, seen: jnp.ndarray,
                     sc: SamplingConfig) -> jnp.ndarray:
     """HF-order logits pipeline in fp32. logits (B, V)."""
@@ -114,6 +143,8 @@ def _process_logits(logits: jnp.ndarray, seen: jnp.ndarray,
         pen = jnp.where(logits > 0, logits / sc.repetition_penalty,
                         logits * sc.repetition_penalty)
         logits = jnp.where(seen, pen, logits)
+    if sc.typical_sampling:
+        logits = _typical_filter(logits, sc.typical_mass)
     if not sc.do_sample:
         return logits
     if sc.temperature != 1.0:

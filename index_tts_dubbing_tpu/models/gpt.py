@@ -53,6 +53,8 @@ class GPTConfig:
     cond_num_blocks: int = 6
     activation: str = "gelu_pytorch_tanh"
     perceiver_mult: int = 2
+    # "conformer_perceiver" (v1.5) | "perceiver" (v1.0 legacy encoder)
+    condition_type: str = "conformer_perceiver"
 
     @property
     def max_mel_seq(self) -> int:   # mel stream positions (incl start/stop/cond slot)
@@ -211,6 +213,11 @@ def get_conditioning(params: Params, cfg: GPTConfig, mel: jnp.ndarray,
                      lengths: jnp.ndarray) -> jnp.ndarray:
     """mel (B, T, n_mels) + lengths → conds (B, 32, model_dim).
     Mirrors UnifiedVoice.get_conditioning (model.py:490-519)."""
+    if cfg.condition_type == "perceiver":
+        from index_tts_dubbing_tpu.models import legacy_cond
+        x = legacy_cond.forward(params["cond_encoder"], mel, heads=cfg.heads)
+        return perceiver.forward(params["perceiver"], x, mask=None,
+                                 heads=cfg.cond_attention_heads)
     x, keep = conformer.forward(params["cond_encoder"], mel, lengths,
                                 heads=cfg.cond_attention_heads)
     ones = jnp.ones((keep.shape[0], cfg.condition_num_latent), bool)

@@ -67,6 +67,7 @@ def load_config(path: str | Path) -> EngineConfig:
         cond_attention_heads=cm.get("attention_heads", 8),
         cond_num_blocks=cm.get("num_blocks", 6),
         perceiver_mult=cm.get("perceiver_mult", 2),
+        condition_type=g.get("condition_type", "conformer_perceiver"),
     )
     b = raw.get("bigvgan", {})
     bigvgan = BigVGANConfig(

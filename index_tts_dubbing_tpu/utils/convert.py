@@ -207,6 +207,25 @@ def convert_perceiver(sd: StateDict, depth: int = 2,
     return p
 
 
+# --- Legacy conditioning encoder (v1.0) -------------------------------------
+
+def convert_legacy_cond(sd: StateDict, attn_blocks: int = 6,
+                        prefix: str = "") -> Dict[str, Any]:
+    """Reference ConditioningEncoder (gpt/model.py:210-235 + arch_util
+    AttentionBlock) → models/legacy_cond.py tree."""
+    p: Dict[str, Any] = {"init": _conv(sd, f"{prefix}init"), "blocks": []}
+    for i in range(attn_blocks):
+        b = f"{prefix}attn.{i}"
+        blk = {"norm": _ln(sd, f"{b}.norm"),
+               "qkv": _conv(sd, f"{b}.qkv"),
+               "proj": _conv(sd, f"{b}.proj_out")}
+        if f"{b}.relative_pos_embeddings.relative_attention_bias.weight" in sd:
+            blk["rel_pos"] = {"emb": {"w": sd[
+                f"{b}.relative_pos_embeddings.relative_attention_bias.weight"]}}
+        p["blocks"].append(blk)
+    return p
+
+
 # --- UnifiedVoice GPT -------------------------------------------------------
 
 def convert_unified_voice(sd: StateDict, layers: int = 20,
@@ -217,9 +236,14 @@ def convert_unified_voice(sd: StateDict, layers: int = 20,
     def conv1d_linear(prefix):  # HF Conv1D: weight (in, out)
         return {"w": sd[f"{prefix}.weight"], "b": sd[f"{prefix}.bias"]}
 
+    if "conditioning_encoder.init.weight" in sd:  # v1.0 legacy encoder
+        cond = convert_legacy_cond(sd, attn_blocks=cond_blocks,
+                                   prefix="conditioning_encoder.")
+    else:
+        cond = convert_conformer(sd, num_blocks=cond_blocks,
+                                 prefix="conditioning_encoder.")
     p: Dict[str, Any] = {
-        "cond_encoder": convert_conformer(sd, num_blocks=cond_blocks,
-                                          prefix="conditioning_encoder."),
+        "cond_encoder": cond,
         "perceiver": convert_perceiver(sd, prefix="perceiver_encoder."),
         "text_emb": {"w": sd["text_embedding.weight"]},
         "mel_emb": {"w": sd["mel_embedding.weight"]},
