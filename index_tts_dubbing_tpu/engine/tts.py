@@ -191,7 +191,11 @@ class IndexTTS:
         self.model_dir = Path(model_dir) if model_dir else None
         self.model_version = self.cfg.version
 
-        self.params = params if params is not None else self._load_params(seed)
+        if params is not None:
+            self.params = dict(params)
+            self.params["gpt"] = gpt_model.stack_blocks(self.params["gpt"])
+        else:
+            self.params = self._load_params(seed)
         self._log = print if verbose_init else (lambda *a, **k: None)
 
         self.normalizer = TextNormalizer()
@@ -209,6 +213,11 @@ class IndexTTS:
 
     # ------------------------------------------------------------------
     def _load_params(self, seed: int) -> Dict[str, Any]:
+        p = self._load_params_raw(seed)
+        p["gpt"] = gpt_model.stack_blocks(p["gpt"])
+        return p
+
+    def _load_params_raw(self, seed: int) -> Dict[str, Any]:
         if self.model_dir is not None:
             npz_gpt = self.model_dir / "gpt.npz"
             npz_bv = self.model_dir / "bigvgan.npz"

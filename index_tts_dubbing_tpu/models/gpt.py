@@ -71,7 +71,35 @@ class GPTConfig:
 
 # ---------------------------------------------------------------------------
 # GPT-2 trunk
+#
+# Layers are stored STACKED: params["blocks"] is a single pytree whose leaves
+# have a leading (layers,) dim, and every trunk function runs a lax.scan over
+# it. This keeps the HLO size O(1) in depth (fast XLA compiles) and is the
+# idiomatic TPU layout. ``stack_blocks`` converts the per-layer list emitted
+# by init()/the checkpoint converter.
 # ---------------------------------------------------------------------------
+
+
+def stack_blocks(params: Params) -> Params:
+    """Return params with a list-of-blocks stacked into one leading-dim tree
+    (no-op if already stacked)."""
+    blocks = params.get("blocks")
+    if not isinstance(blocks, (list, tuple)):
+        return params
+
+    def _stack(*xs):
+        if isinstance(xs[0], np.ndarray):  # host-side: keep off-device
+            return np.stack(xs)
+        return jnp.stack([jnp.asarray(x) for x in xs])
+
+    out = dict(params)
+    out["blocks"] = jax.tree.map(_stack, *blocks)
+    return out
+
+
+def _ensure_stacked(params: Params) -> Params:
+    return stack_blocks(params) if isinstance(params.get("blocks"),
+                                              (list, tuple)) else params
 
 def _act(cfg: GPTConfig, x):
     return nn.gelu_tanh(x) if "tanh" in cfg.activation or cfg.activation == "gelu_new" else nn.gelu_exact(x)
@@ -115,10 +143,13 @@ def causal_bias(t: int, pad_keep: Optional[jnp.ndarray] = None) -> jnp.ndarray:
 def trunk_forward(params: Params, cfg: GPTConfig, emb: jnp.ndarray,
                   pad_keep: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Full-sequence trunk: embeddings (B,T,C) → hidden after ln_f."""
+    params = _ensure_stacked(params)
     bias = causal_bias(emb.shape[1], pad_keep)
-    x = emb
-    for blk in params["blocks"]:
-        x = _block_full(cfg, blk, x, bias)
+
+    def body(x, blk):
+        return _block_full(cfg, blk, x, bias), None
+
+    x, _ = jax.lax.scan(body, emb, params["blocks"])
     return nn.layer_norm(params["ln_f"], x)
 
 
@@ -142,18 +173,16 @@ def trunk_prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray,
                   ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the prefix (B, T0, C), fill cache[:, :, :, :T0], return hidden of
     the last position (B, C) after ln_f."""
+    params = _ensure_stacked(params)
     t0 = emb.shape[1]
     bias = causal_bias(t0, pad_keep)
-    x = emb
-    ks, vs = [], []
-    for blk in params["blocks"]:
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+
+    def body(x, blk):
         h = nn.layer_norm(blk["ln1"], x)
         qkv = nn.linear(blk["attn"]["qkv"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (nn.split_heads(t, cfg.heads) for t in (q, k, v))
-        ks.append(k)
-        vs.append(v)
-        scale = 1.0 / math.sqrt(cfg.head_dim)
         logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale
         logits = logits + bias
@@ -161,8 +190,9 @@ def trunk_prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray,
         o = jnp.einsum("bhqk,bhkd->bhqd", w, v, preferred_element_type=x.dtype)
         x = x + nn.linear(blk["attn"]["proj"], nn.merge_heads(o))
         x = x + _mlp(cfg, blk["mlp"], nn.layer_norm(blk["ln2"], x))
-    k_stack = jnp.stack(ks)  # (L, B, H, T0, D)
-    v_stack = jnp.stack(vs)
+        return x, (k, v)
+
+    x, (k_stack, v_stack) = jax.lax.scan(body, emb, params["blocks"])
     cache = KVCache(
         jax.lax.dynamic_update_slice(cache.k, k_stack.astype(cache.k.dtype),
                                      (0, 0, 0, 0, 0)),
@@ -179,28 +209,34 @@ def trunk_decode_step(params: Params, cfg: GPTConfig, x: jnp.ndarray,
     """One decode step. x (B, C) embedding of the current token; ``pos`` the
     cache slot it occupies; key_keep (B, S) validity mask over cache slots
     (True = attend). Returns hidden (B, C) after ln_f and the updated cache."""
+    params = _ensure_stacked(params)
     kbias = jnp.where(key_keep, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
     scale = 1.0 / math.sqrt(cfg.head_dim)
-    k_all, v_all = cache.k, cache.v
-    for li, blk in enumerate(params["blocks"]):
+
+    def body(x, layer):
+        blk, k_l, v_l = layer
         h = nn.layer_norm(blk["ln1"], x)
         qkv = nn.linear(blk["attn"]["qkv"], h[:, None, :])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = nn.split_heads(q, cfg.heads)            # (B,H,1,D)
         k = nn.split_heads(k, cfg.heads)
         v = nn.split_heads(v, cfg.heads)
-        k_all = jax.lax.dynamic_update_slice(
-            k_all, k[None].astype(k_all.dtype), (li, 0, 0, pos, 0))
-        v_all = jax.lax.dynamic_update_slice(
-            v_all, v[None].astype(v_all.dtype), (li, 0, 0, pos, 0))
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_all[li].astype(q.dtype),
+        k_l = jax.lax.dynamic_update_slice(
+            k_l, k.astype(k_l.dtype), (0, 0, pos, 0))
+        v_l = jax.lax.dynamic_update_slice(
+            v_l, v.astype(v_l.dtype), (0, 0, pos, 0))
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_l.astype(q.dtype),
                             preferred_element_type=jnp.float32) * scale
         logits = logits + kbias
         w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", w, v_all[li].astype(x.dtype),
+        o = jnp.einsum("bhqk,bhkd->bhqd", w, v_l.astype(x.dtype),
                        preferred_element_type=x.dtype)
         x = x + nn.linear(blk["attn"]["proj"], nn.merge_heads(o)[:, 0, :])
         x = x + _mlp(cfg, blk["mlp"], nn.layer_norm(blk["ln2"], x))
+        return x, (k_l, v_l)
+
+    x, (k_all, v_all) = jax.lax.scan(body, x,
+                                     (params["blocks"], cache.k, cache.v))
     h = nn.layer_norm(params["ln_f"], x)
     return h, KVCache(k_all, v_all)
 
@@ -407,4 +443,4 @@ def init(rng, cfg: GPTConfig) -> Params:
                          "b": jnp.zeros((d,), jnp.float32)},
             },
         })
-    return p
+    return stack_blocks(p)

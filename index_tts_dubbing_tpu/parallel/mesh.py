@@ -58,36 +58,45 @@ def gpt_param_specs(params: Dict[str, Any], model_size: int = 1) -> Dict[str, An
     def replicated(tree):
         return jax.tree.map(lambda _: P(), tree)
 
-    def ok(p, *path):
-        node = params
-        for k in path:
-            node = node[k]
+    def ok(node, p):
         return all(node.shape[i] % model_size == 0
                    for i, ax in enumerate(p) if ax == "model")
 
-    def maybe(p, *path):
-        return p if ok(p, *path) else P()
+    def maybe(node, p):
+        return p if ok(node, p) else P()
 
     specs = replicated(params)
-    for li, blk in enumerate(specs["blocks"]):
-        pb = ("blocks", li)
-        blk["attn"]["qkv"] = {
-            "w": maybe(P(None, "model"), *pb, "attn", "qkv", "w"),
-            "b": maybe(P("model"), *pb, "attn", "qkv", "b")}
-        blk["attn"]["proj"] = {
-            "w": maybe(P("model", None), *pb, "attn", "proj", "w"), "b": P()}
-        blk["mlp"]["fc"] = {
-            "w": maybe(P(None, "model"), *pb, "mlp", "fc", "w"),
-            "b": maybe(P("model"), *pb, "mlp", "fc", "b")}
-        blk["mlp"]["proj"] = {
-            "w": maybe(P("model", None), *pb, "mlp", "proj", "w"), "b": P()}
+    blocks = params["blocks"]
+    stacked = not isinstance(blocks, (list, tuple))
+
+    def blk_spec(node, p):
+        """Prepend the stacked layers dim when blocks are stacked."""
+        if stacked:
+            p = P(None, *p)
+        return maybe(node, p)
+
+    blk_list = [blocks] if stacked else list(blocks)
+    spec_list = [specs["blocks"]] if stacked else list(specs["blocks"])
+    for blk, sp in zip(blk_list, spec_list):
+        sp["attn"]["qkv"] = {
+            "w": blk_spec(blk["attn"]["qkv"]["w"], P(None, "model")),
+            "b": blk_spec(blk["attn"]["qkv"]["b"], P("model"))}
+        sp["attn"]["proj"] = {
+            "w": blk_spec(blk["attn"]["proj"]["w"], P("model", None)),
+            "b": P()}
+        sp["mlp"]["fc"] = {
+            "w": blk_spec(blk["mlp"]["fc"]["w"], P(None, "model")),
+            "b": blk_spec(blk["mlp"]["fc"]["b"], P("model"))}
+        sp["mlp"]["proj"] = {
+            "w": blk_spec(blk["mlp"]["proj"]["w"], P("model", None)),
+            "b": P()}
     # output heads shard the vocab dim where divisible
     specs["mel_head"] = {
-        "w": maybe(P(None, "model"), "mel_head", "w"),
-        "b": maybe(P("model"), "mel_head", "b")}
+        "w": maybe(params["mel_head"]["w"], P(None, "model")),
+        "b": maybe(params["mel_head"]["b"], P("model"))}
     specs["text_head"] = {
-        "w": maybe(P(None, "model"), "text_head", "w"),
-        "b": maybe(P("model"), "text_head", "b")}
+        "w": maybe(params["text_head"]["w"], P(None, "model")),
+        "b": maybe(params["text_head"]["b"], P("model"))}
     return specs
 
 
