@@ -240,10 +240,13 @@ class IndexTTS:
                         num_upsamples=self.bigvgan_cfg.num_upsamples,
                         num_kernels=self.bigvgan_cfg.num_kernels),
                 }
-        # no checkpoints: random init (benches / smoke runs)
-        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-        return {"gpt": gpt_model.init(k1, self.gpt_cfg),
-                "bigvgan": bigvgan_model.init(k2, self.bigvgan_cfg)}
+        # no checkpoints: random init (benches / smoke runs). Run on host CPU:
+        # eager per-layer RNG ops over a remote TPU link would take minutes.
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+            return {"gpt": gpt_model.init(k1, self.gpt_cfg),
+                    "bigvgan": bigvgan_model.init(k2, self.bigvgan_cfg)}
 
     def _load_tokenizer(self):
         if self.model_dir is not None:

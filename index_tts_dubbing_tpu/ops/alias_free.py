@@ -55,57 +55,59 @@ UP_FILTER = kaiser_sinc_filter1d(0.5 / 2, 0.6 / 2, 12)
 DOWN_FILTER = UP_FILTER  # same design parameters
 
 
-def _depthwise_kernel(filt: np.ndarray, channels: int, dtype) -> jnp.ndarray:
-    """(K,) filter -> (K, 1, C) depthwise kernel (same taps per channel)."""
-    k = filt.shape[0]
-    return jnp.broadcast_to(jnp.asarray(filt, dtype)[:, None, None],
-                            (k, 1, channels))
+def _replicate_pad_t(x: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
+    parts = []
+    if lo:
+        parts.append(jnp.repeat(x[:, :1], lo, axis=1))
+    parts.append(x)
+    if hi:
+        parts.append(jnp.repeat(x[:, -1:], hi, axis=1))
+    return jnp.concatenate(parts, axis=1)
 
 
 def upsample2(x: jnp.ndarray, filt: np.ndarray = UP_FILTER) -> jnp.ndarray:
     """×2 anti-aliased upsample of (B, T, C) → (B, 2T, C).
 
-    Equivalent to alias_free_torch/resample.py:10-33 (replicate pad 5, FIR
-    transposed-conv stride 2, crop 15/15, gain 2), with the crop folded into
-    negative conv padding.
+    Equivalent to alias_free_torch/resample.py:10-33 (replicate pad 5, 12-tap
+    FIR transposed-conv stride 2, crop 15/15, gain 2). Because every channel
+    shares the same taps, this is expressed as a 6-tap **polyphase shift-add**
+    per output phase — pure broadcast VPU ops, no grouped conv (which XLA
+    lowers poorly on TPU).
     """
     b, t, c = x.shape
     k = filt.shape[0]
-    ratio = 2
-    pad = k // ratio - 1                      # 5
-    crop = pad * ratio + (k - ratio) // 2     # 15
-    x = jnp.concatenate(
-        [jnp.repeat(x[:, :1], pad, axis=1), x, jnp.repeat(x[:, -1:], pad, axis=1)],
-        axis=1)
-    w = _depthwise_kernel(filt[::-1].copy() * ratio, c, x.dtype)
-    lo = k - 1 - crop
-    y = lax.conv_general_dilated(
-        x, w, window_strides=(1,), padding=[(lo, lo)],
-        lhs_dilation=(ratio,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=c,
-        preferred_element_type=x.dtype,
-    )
+    pad = k // 2 - 1                          # 5
+    xp = _replicate_pad_t(x, pad, pad)        # (B, T+10, C)
+    # derivation from y[n] = 2·Σ_k x_p[k]·f[n+15−2k] (crop already folded):
+    #   even phase: taps f[11],f[9],f[7],f[5],f[3],f[1] on x_p[t+2 .. t+7]
+    #   odd  phase: taps f[10],f[8],f[6],f[4],f[2],f[0] on x_p[t+3 .. t+8]
+    even = jnp.zeros_like(x)
+    odd = jnp.zeros_like(x)
+    for i in range(k // 2):
+        even = even + (2.0 * float(filt[k - 1 - 2 * i])) * xp[:, 2 + i: 2 + i + t]
+        odd = odd + (2.0 * float(filt[k - 2 - 2 * i])) * xp[:, 3 + i: 3 + i + t]
+    y = jnp.stack([even, odd], axis=2).reshape(b, 2 * t, c)
     return y
 
 
 def downsample2(x: jnp.ndarray, filt: np.ndarray = DOWN_FILTER) -> jnp.ndarray:
     """×2 anti-aliased downsample of (B, 2T, C) → (B, T, C). Matches
-    alias_free_torch/filter.py:61-95 with stride 2 and replicate padding."""
+    alias_free_torch/filter.py:61-95 (stride-2 12-tap FIR, replicate pad),
+    as a polyphase shift-add over the two input phases."""
     b, t, c = x.shape
     k = filt.shape[0]
     pad_left = k // 2 - 1                     # 5
     pad_right = k // 2                        # 6
-    x = jnp.concatenate(
-        [jnp.repeat(x[:, :1], pad_left, axis=1), x,
-         jnp.repeat(x[:, -1:], pad_right, axis=1)], axis=1)
-    w = _depthwise_kernel(filt, c, x.dtype)
-    y = lax.conv_general_dilated(
-        x, w, window_strides=(2,), padding=[(0, 0)],
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=c,
-        preferred_element_type=x.dtype,
-    )
+    xp = _replicate_pad_t(x, pad_left, pad_right)  # (B, 2T+11, C)
+    t_out = t // 2
+    y = jnp.zeros((b, t_out, c), x.dtype)
+    # y[t] = Σ_j f[j]·x_p[2t+j]; split j into even/odd so every term is a
+    # stride-2 slice (cheap on TPU)
+    xe = xp[:, 0::2]                          # (B, T+6, C)
+    xo = xp[:, 1::2]                          # (B, T+5, C)
+    for j in range(k // 2):
+        y = y + float(filt[2 * j]) * xe[:, j: j + t_out]
+        y = y + float(filt[2 * j + 1]) * xo[:, j: j + t_out]
     return y
 
 
