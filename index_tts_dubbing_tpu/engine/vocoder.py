@@ -7,11 +7,24 @@ BigVGAN at one static shape and the halo-corrupted edges are cropped. With a
 halo ≥ the generator's total receptive field, the stitched waveform equals the
 exact full-sequence computation (convs have finite support; the anti-aliased
 snake is pointwise in time apart from its 12-tap FIRs).
+
+Compile-time design: the reference network is 6 stages × 3 parallel AMP
+resblocks × 3 sequential conv pairs = ~110 convolutions + ~110 anti-aliased
+activations — an enormous HLO that the TPU compiler chews on for minutes. The
+fused path rewrites each stage, **exactly**, as:
+
+- the 3 parallel resblocks become channel groups of one grouped conv
+  (feature_group_count=3) over 3·C channels;
+- the 3 sequential conv pairs become a ``lax.scan`` after zero-padding every
+  dilated kernel to a common dense width (a dilated conv IS a dense conv with
+  zeros between taps);
+
+so a stage compiles 2 convs + 2 activations instead of 18 + 36.
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -20,6 +33,8 @@ import numpy as np
 from index_tts_dubbing_tpu.models import bigvgan as bigvgan_model
 from index_tts_dubbing_tpu.models import ecapa
 from index_tts_dubbing_tpu.models.bigvgan import BigVGANConfig
+from index_tts_dubbing_tpu.ops.alias_free import (downsample2, snake_beta,
+                                                  snake, upsample2)
 
 # conservative halo: BigVGAN's receptive field measured in *input* (latent)
 # frames. conv_pre(±3) + per-stage dilated convs (k up to 11, dil up to 5 →
@@ -28,13 +43,93 @@ from index_tts_dubbing_tpu.models.bigvgan import BigVGANConfig
 DEFAULT_HALO = 32
 
 
+def fuse_bigvgan_params(params: Dict[str, Any], cfg: BigVGANConfig
+                        ) -> Dict[str, Any]:
+    """Host-side restructure of BigVGAN params into the grouped/scanned form.
+    Pure re-layout + zero-padding of kernels: outputs are bit-identical."""
+    nb = cfg.num_kernels            # parallel branches (3)
+    npair = 3                       # sequential pairs per resblock
+    fused: Dict[str, Any] = {
+        "conv_pre": params["conv_pre"],
+        "cond_layer": params["cond_layer"],
+        "conds": params["conds"],
+        "ups": params["ups"],
+        "act_post": params["act_post"],
+        "conv_post": params["conv_post"],
+        "speaker_encoder": params["speaker_encoder"],
+        "stages": [],
+    }
+    # common dense widths across all (branch, pair) combos so pairs scan
+    w1_max = max(d * (k - 1) + 1
+                 for k, ds in zip(cfg.resblock_kernel_sizes,
+                                  cfg.resblock_dilation_sizes) for d in ds)
+    w2_max = max(cfg.resblock_kernel_sizes)
+
+    def dense(wk: np.ndarray, dilation: int, width: int) -> np.ndarray:
+        """(k, C, C) torch-style dilated kernel → (width, C, C) dense with
+        zeros between taps, centered."""
+        k = wk.shape[0]
+        span = dilation * (k - 1) + 1
+        out = np.zeros((width,) + wk.shape[1:], np.float32)
+        start = (width - span) // 2
+        for t in range(k):
+            out[start + t * dilation] = wk[t]
+        return out
+
+    for i in range(cfg.num_upsamples):
+        ch = cfg.stage_channels(i)
+        W1 = np.zeros((npair, w1_max, ch, nb * ch), np.float32)
+        B1 = np.zeros((npair, nb * ch), np.float32)
+        W2 = np.zeros((npair, w2_max, ch, nb * ch), np.float32)
+        B2 = np.zeros((npair, nb * ch), np.float32)
+        A1 = np.zeros((npair, nb * ch), np.float32)
+        Be1 = np.zeros((npair, nb * ch), np.float32)
+        A2 = np.zeros((npair, nb * ch), np.float32)
+        Be2 = np.zeros((npair, nb * ch), np.float32)
+        for j in range(nb):
+            rb = params["resblocks"][i * nb + j]
+            k = cfg.resblock_kernel_sizes[j]
+            for p in range(npair):
+                d = cfg.resblock_dilation_sizes[j][p]
+                sl = slice(j * ch, (j + 1) * ch)
+                W1[p, :, :, sl] = dense(np.asarray(rb["convs1"][p]["w"]), d,
+                                        w1_max)
+                B1[p, sl] = np.asarray(rb["convs1"][p]["b"])
+                W2[p, :, :, sl] = dense(np.asarray(rb["convs2"][p]["w"]), 1,
+                                        w2_max)
+                B2[p, sl] = np.asarray(rb["convs2"][p]["b"])
+                a1 = rb["acts"][2 * p]
+                a2 = rb["acts"][2 * p + 1]
+                A1[p, sl] = np.asarray(a1["alpha"])
+                A2[p, sl] = np.asarray(a2["alpha"])
+                if "beta" in a1:
+                    Be1[p, sl] = np.asarray(a1["beta"])
+                    Be2[p, sl] = np.asarray(a2["beta"])
+        fused["stages"].append({
+            "w1": W1, "b1": B1, "w2": W2, "b2": B2,
+            "alpha1": A1, "beta1": Be1, "alpha2": A2, "beta2": Be2,
+        })
+    return fused
+
+
+def _aa(x, alpha, beta, cfg: BigVGANConfig):
+    y = upsample2(x)
+    if cfg.activation == "snakebeta":
+        y = snake_beta(y, alpha, beta, cfg.snake_logscale)
+    else:
+        y = snake(y, alpha, cfg.snake_logscale)
+    return downsample2(y)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def _vocode_window(params: Dict[str, Any], cfg: BigVGANConfig,
                    latent: jnp.ndarray, spk: jnp.ndarray) -> jnp.ndarray:
     """One fixed-shape window (B, W, gpt_dim) + precomputed speaker embedding
-    (B, 1, spk_dim) → wav (B, W·1024)."""
+    (B, 1, spk_dim) → wav (B, W·1024). Fused grouped/scanned form."""
     import index_tts_dubbing_tpu.nn as nn
+    from jax import lax
 
+    nb = cfg.num_kernels
     x = nn.conv1d(params["conv_pre"], latent, padding=3)
     x = x + nn.conv1d(params["cond_layer"], spk, padding=(0, 0))
     for i in range(cfg.num_upsamples):
@@ -44,14 +139,23 @@ def _vocode_window(params: Dict[str, Any], cfg: BigVGANConfig,
                                 padding=(k - u) // 2)
         if cfg.cond_in_each_up_layer:
             x = x + nn.conv1d(params["conds"][i], spk, padding=(0, 0))
-        xs = None
-        for j in range(cfg.num_kernels):
-            rb = params["resblocks"][i * cfg.num_kernels + j]
-            y = bigvgan_model._amp_block(cfg, rb, x,
-                                         cfg.resblock_kernel_sizes[j],
-                                         cfg.resblock_dilation_sizes[j])
-            xs = y if xs is None else xs + y
-        x = xs / cfg.num_kernels
+        st = params["stages"][i]
+        w1_pad = (st["w1"].shape[1] - 1) // 2
+        w2_pad = (st["w2"].shape[1] - 1) // 2
+        X = jnp.tile(x, (1, 1, nb))
+
+        def pair(X, pp):
+            h = _aa(X, pp["alpha1"], pp["beta1"], cfg)
+            h = nn.conv1d({"w": pp["w1"], "b": pp["b1"]}, h,
+                          padding=w1_pad, groups=nb)
+            h = _aa(h, pp["alpha2"], pp["beta2"], cfg)
+            h = nn.conv1d({"w": pp["w2"], "b": pp["b2"]}, h,
+                          padding=w2_pad, groups=nb)
+            return X + h, None
+
+        X, _ = lax.scan(pair, X, st)
+        b, t, _ = X.shape
+        x = jnp.mean(X.reshape(b, t, nb, -1), axis=2)
     x = bigvgan_model._act(cfg, params["act_post"], x)
     x = nn.conv1d(params["conv_post"], x, padding=3)
     return jnp.tanh(x)[..., 0]
@@ -67,7 +171,7 @@ class WindowedVocoder:
 
     def __init__(self, params: Dict[str, Any], cfg: BigVGANConfig,
                  window: int = 192, halo: int = DEFAULT_HALO):
-        self.params = params
+        self.params = fuse_bigvgan_params(params, cfg)
         self.cfg = cfg
         self.window = window
         self.halo = halo

@@ -109,7 +109,7 @@ def forward(params: Params, cfg: BigVGANConfig, latent: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _init_snake(ch: int, cfg: BigVGANConfig) -> Params:
-    a = jnp.zeros((ch,), jnp.float32) if cfg.snake_logscale else jnp.ones((ch,), jnp.float32)
+    a = np.zeros((ch,), np.float32) if cfg.snake_logscale else np.ones((ch,), np.float32)
     p = {"alpha": a}
     if cfg.activation == "snakebeta":
         p["beta"] = a

@@ -141,7 +141,7 @@ def init(rng, input_size: int = 100, output_size: int = 512,
             "conv": nn.conv2d_init(next(keys), 1, d, 3, 3),
             "out": nn.linear_init(next(keys), d * freq_out, d),
         },
-        "pe": jnp.asarray(sinusoidal_pos(max_len, d)),
+        "pe": sinusoidal_pos(max_len, d),
         "blocks": [],
         "after_norm": nn.layer_norm_init(d),
     }
@@ -154,14 +154,11 @@ def init(rng, input_size: int = 100, output_size: int = 512,
                 "q": nn.linear_init(next(keys), d, d),
                 "k": nn.linear_init(next(keys), d, d),
                 "v": nn.linear_init(next(keys), d, d),
-                "pos": {"w": jax.random.uniform(next(keys), (d, d), jnp.float32,
-                                                -math.sqrt(6.0 / (2 * d)),
-                                                math.sqrt(6.0 / (2 * d)))},
+                "pos": {"w": nn._uniform(next(keys), (d, d),
+                                         math.sqrt(6.0 / (2 * d)))},
                 "out": nn.linear_init(next(keys), d, d),
-                "pos_bias_u": jax.random.uniform(next(keys), (attention_heads, dk),
-                                                 jnp.float32, -xavier, xavier),
-                "pos_bias_v": jax.random.uniform(next(keys), (attention_heads, dk),
-                                                 jnp.float32, -xavier, xavier),
+                "pos_bias_u": nn._uniform(next(keys), (attention_heads, dk), xavier),
+                "pos_bias_v": nn._uniform(next(keys), (attention_heads, dk), xavier),
             },
             "norm_conv": nn.layer_norm_init(d),
             "conv": {

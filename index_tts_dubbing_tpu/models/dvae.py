@@ -168,7 +168,7 @@ def init(rng, cfg: DVAEConfig) -> Params:
                     for _ in range(cfg.num_resnet_blocks)],
         "dec_convs": [nn.conv1d_init(next(keys), i, o, k) for i, o in dec_io],
         "dec_out": nn.conv1d_init(next(keys), dec_chans[-1], cfg.channels, 1),
-        "codebook": {"embed": jax.random.normal(
-            next(keys), (cfg.codebook_dim, cfg.num_tokens))},
+        "codebook": {"embed": nn.normal_init(
+            next(keys), (cfg.codebook_dim, cfg.num_tokens), std=1.0)},
     }
     return p

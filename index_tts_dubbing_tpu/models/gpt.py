@@ -430,17 +430,17 @@ def init(rng, cfg: GPTConfig) -> Params:
         p["blocks"].append({
             "ln1": nn.layer_norm_init(d),
             "attn": {
-                "qkv": {"w": jax.random.normal(next(keys), (d, 3 * d)) * 0.02,
-                        "b": jnp.zeros((3 * d,), jnp.float32)},
-                "proj": {"w": jax.random.normal(next(keys), (d, d)) * 0.02,
-                         "b": jnp.zeros((d,), jnp.float32)},
+                "qkv": {"w": nn.normal_init(next(keys), (d, 3 * d)),
+                        "b": np.zeros((3 * d,), np.float32)},
+                "proj": {"w": nn.normal_init(next(keys), (d, d)),
+                         "b": np.zeros((d,), np.float32)},
             },
             "ln2": nn.layer_norm_init(d),
             "mlp": {
-                "fc": {"w": jax.random.normal(next(keys), (d, 4 * d)) * 0.02,
-                       "b": jnp.zeros((4 * d,), jnp.float32)},
-                "proj": {"w": jax.random.normal(next(keys), (4 * d, d)) * 0.02,
-                         "b": jnp.zeros((d,), jnp.float32)},
+                "fc": {"w": nn.normal_init(next(keys), (d, 4 * d)),
+                       "b": np.zeros((4 * d,), np.float32)},
+                "proj": {"w": nn.normal_init(next(keys), (4 * d, d)),
+                         "b": np.zeros((d,), np.float32)},
             },
         })
     return stack_blocks(p)

@@ -104,7 +104,7 @@ def init(rng, spec_dim: int = 100, embedding_dim: int = 1024,
             "norm": nn.group_norm_init(embedding_dim),
             "qkv": nn.conv1d_init(next(keys), embedding_dim,
                                   embedding_dim * 3, 1),
-            "proj": {"w": jnp.zeros((1, embedding_dim, embedding_dim)),
-                     "b": jnp.zeros((embedding_dim,))},
+            "proj": {"w": np.zeros((1, embedding_dim, embedding_dim), np.float32),
+                     "b": np.zeros((embedding_dim,), np.float32)},
         })
     return p

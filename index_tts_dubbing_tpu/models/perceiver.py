@@ -63,7 +63,7 @@ def init(rng, dim: int = 1024, dim_context: int = 512, num_latents: int = 32,
     ff_inner = int(dim * ff_mult * 2 / 3)
     p: Params = {
         "proj_context": nn.linear_init(next(keys), dim_context, dim),
-        "latents": jax.random.normal(next(keys), (num_latents, dim)) * 0.02,
+        "latents": nn.normal_init(next(keys), (num_latents, dim)),
         "layers": [],
         "norm": nn.rms_norm_init(dim),
     }

@@ -29,11 +29,22 @@ Params = Dict[str, Any]
 
 
 # ---------------------------------------------------------------------------
-# init helpers (match torch defaults so random-weight parity tests line up)
+# init helpers (match torch default *distributions*; computed host-side with
+# numpy so model bring-up never dispatches hundreds of tiny device ops — on a
+# remote TPU link each eager op costs an RPC + compile)
 # ---------------------------------------------------------------------------
 
+def _np_rng(rng) -> np.random.Generator:
+    seed = np.asarray(jax.random.key_data(rng)).astype(np.uint32).reshape(-1)
+    return np.random.default_rng([int(s) for s in seed])
+
+
 def _uniform(rng, shape, bound):
-    return jax.random.uniform(rng, shape, jnp.float32, -bound, bound)
+    return _np_rng(rng).uniform(-bound, bound, size=shape).astype(np.float32)
+
+
+def normal_init(rng, shape, std: float = 0.02):
+    return (_np_rng(rng).standard_normal(size=shape) * std).astype(np.float32)
 
 
 def linear_init(rng, in_dim: int, out_dim: int, bias: bool = True) -> Params:
@@ -55,7 +66,7 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def embedding_init(rng, num: int, dim: int, std: float = 0.02) -> Params:
-    return {"w": jax.random.normal(rng, (num, dim), jnp.float32) * std}
+    return {"w": normal_init(rng, (num, dim), std)}
 
 
 def embedding(p: Params, ids: jnp.ndarray) -> jnp.ndarray:
@@ -165,7 +176,7 @@ def conv2d(p: Params, x: jnp.ndarray, *, stride=(1, 1), padding="VALID") -> jnp.
 # ---------------------------------------------------------------------------
 
 def layer_norm_init(dim: int) -> Params:
-    return {"g": jnp.ones((dim,), jnp.float32), "b": jnp.zeros((dim,), jnp.float32)}
+    return {"g": np.ones((dim,), np.float32), "b": np.zeros((dim,), np.float32)}
 
 
 def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -177,7 +188,7 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def group_norm_init(ch: int) -> Params:
-    return {"g": jnp.ones((ch,), jnp.float32), "b": jnp.zeros((ch,), jnp.float32)}
+    return {"g": np.ones((ch,), np.float32), "b": np.zeros((ch,), np.float32)}
 
 
 def group_norm(p: Params, x: jnp.ndarray, groups: int, eps: float = 1e-5) -> jnp.ndarray:
@@ -193,10 +204,10 @@ def group_norm(p: Params, x: jnp.ndarray, groups: int, eps: float = 1e-5) -> jnp
 
 def batch_norm_init(ch: int) -> Params:
     return {
-        "g": jnp.ones((ch,), jnp.float32),
-        "b": jnp.zeros((ch,), jnp.float32),
-        "mean": jnp.zeros((ch,), jnp.float32),
-        "var": jnp.ones((ch,), jnp.float32),
+        "g": np.ones((ch,), np.float32),
+        "b": np.zeros((ch,), np.float32),
+        "mean": np.zeros((ch,), np.float32),
+        "var": np.ones((ch,), np.float32),
     }
 
 
@@ -208,7 +219,7 @@ def batch_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
 
 
 def rms_norm_init(dim: int) -> Params:
-    return {"g": jnp.ones((dim,), jnp.float32)}
+    return {"g": np.ones((dim,), np.float32)}
 
 
 def rms_norm_l2(p: Params, x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
