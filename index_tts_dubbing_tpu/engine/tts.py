@@ -176,6 +176,8 @@ class IndexTTS:
                  params: Optional[Dict[str, Any]] = None,
                  use_pallas: bool = False, seed: int = 0,
                  verbose_init: bool = True):
+        from index_tts_dubbing_tpu.utils.jax_setup import setup_jax
+        setup_jax()
         self.cfg = (config if config is not None
                     else load_config(cfg_path) if cfg_path
                     else EngineConfig())
@@ -196,6 +198,14 @@ class IndexTTS:
             self.params["gpt"] = gpt_model.stack_blocks(self.params["gpt"])
         else:
             self.params = self._load_params(seed)
+        if is_fp16:
+            # bf16 weights: halves HBM traffic; norms/softmax still compute
+            # in fp32 internally (see nn.py).
+            import ml_dtypes
+            self.params = jax.tree.map(
+                lambda x: x.astype(ml_dtypes.bfloat16)
+                if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+                self.params)
         self._log = print if verbose_init else (lambda *a, **k: None)
 
         self.normalizer = TextNormalizer()

@@ -170,7 +170,7 @@ class WindowedVocoder:
     """Stateless driver: vocode arbitrary-length latents at static shapes."""
 
     def __init__(self, params: Dict[str, Any], cfg: BigVGANConfig,
-                 window: int = 192, halo: int = DEFAULT_HALO):
+                 window: int = 64, halo: int = DEFAULT_HALO):
         self.params = fuse_bigvgan_params(params, cfg)
         self.cfg = cfg
         self.window = window

@@ -1,0 +1,33 @@
+"""Process-level JAX runtime setup.
+
+Enables the persistent XLA compilation cache (critical on this TPU backend,
+where large-graph compiles take minutes but cache hits are instant across
+processes) unless the user configured one already.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_DONE = False
+
+
+def setup_jax(cache_dir: str | None = None) -> None:
+    global _DONE
+    if _DONE:
+        return
+    _DONE = True
+    import jax
+
+    try:
+        current = jax.config.jax_compilation_cache_dir
+    except AttributeError:
+        current = None
+    if current:
+        return
+    cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or str(Path.home() / ".cache" / "jax_comp_cache"))
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache even small/fast-compiling programs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
