@@ -241,3 +241,120 @@ def generate(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     first_stop = jnp.argmax(is_stop, axis=1)
     lengths = jnp.where(any_stop, first_stop, max_steps)
     return GenerateResult(tokens, lengths, j)
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg", "sc", "num_beams"))
+def generate_beam(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
+                  prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
+                  num_beams: int = 3,
+                  length_penalty: float = 0.0) -> GenerateResult:
+    """Deterministic beam search over mel codes (the reference's quality knob:
+    `num_beams=3` default at infer.py:332). HF beam semantics: repetition
+    penalty applied to log-softmax scores, cumulative log-prob ranking, final
+    hypothesis score = sum_logprobs / len**length_penalty (len counted over
+    generated tokens incl. the stop token). Returns the best beam per row.
+    """
+    b, s0, c = prefix_emb.shape
+    nb = num_beams
+    bn = b * nb
+    max_steps = sc.max_mel_tokens
+    s_total = s0 + max_steps
+    vocab = cfg.number_mel_codes
+    NEG = jnp.float32(-1e9)
+
+    cache = gpt_model.init_cache(cfg, b, s_total, dtype=prefix_emb.dtype)
+    h, cache = gpt_model.trunk_prefill(params, cfg, prefix_emb, pad_keep, cache)
+    # expand cache and masks to beams
+    cache = gpt_model.KVCache(jnp.repeat(cache.k, nb, axis=1),
+                              jnp.repeat(cache.v, nb, axis=1))
+    pad_keep_n = jnp.repeat(pad_keep, nb, axis=0)
+    base_keep = jnp.concatenate(
+        [pad_keep_n, jnp.ones((bn, max_steps), bool)], axis=1)
+
+    seen0 = jnp.zeros((bn, vocab), bool)
+    seen0 = seen0.at[:, sc.fake_prefix_id].set(True)
+    seen0 = seen0.at[:, cfg.start_mel_token].set(True)
+
+    def scored_logp(h_, seen):
+        logits = gpt_model.mel_logits_from_hidden(params, h_).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        if sc.repetition_penalty != 1.0:
+            pen = jnp.where(logp > 0, logp / sc.repetition_penalty,
+                            logp * sc.repetition_penalty)
+            logp = jnp.where(seen, pen, logp)
+        return logp
+
+    # first step: per-row top-nb
+    logp0 = scored_logp(h, seen0[::nb])                  # (B, V)
+    top0, tok0 = jax.lax.top_k(logp0, nb)                # (B, nb)
+    beam_scores0 = top0.reshape(bn)
+    prev0 = tok0.reshape(bn).astype(jnp.int32)
+    tokens0 = jnp.full((bn, max_steps), cfg.stop_mel_token, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(prev0)
+    seen0 = seen0.at[jnp.arange(bn), prev0].set(True)
+    fin0 = prev0 == cfg.stop_mel_token
+    fin_len0 = jnp.where(fin0, 1, max_steps).astype(jnp.int32)
+
+    def cond_fn(state):
+        j, finished = state[0], state[5]
+        return (j < max_steps) & (~jnp.all(finished))
+
+    def body_fn(state):
+        j, tokens, prev, beam_scores, cache, finished, fin_len, seen = state
+        emb = (jnp.take(params["mel_emb"]["w"], prev, axis=0)
+               + params["mel_pos"]["w"][j + 1]).astype(prefix_emb.dtype)
+        slot = s0 + j - 1
+        kk = base_keep & (jnp.arange(s_total)[None, :] <= slot)
+        hh, cache = gpt_model.trunk_decode_step(params, cfg, emb, cache,
+                                                slot, kk)
+        logp = scored_logp(hh, seen)                     # (bn, V)
+        # finished beams: only continue with the stop token at no cost
+        cont = jnp.where(finished[:, None],
+                         jnp.full_like(logp, NEG).at[:, cfg.stop_mel_token]
+                         .set(0.0),
+                         logp)
+        cand = beam_scores[:, None] + cont               # (bn, V)
+        cand = cand.reshape(b, nb * vocab)
+        top_s, top_i = jax.lax.top_k(cand, nb)           # (B, nb)
+        src_beam = top_i // vocab                        # (B, nb)
+        tok = (top_i % vocab).astype(jnp.int32)
+        flat_src = (jnp.arange(b)[:, None] * nb + src_beam).reshape(bn)
+        # reorder beam state
+        tokens = jnp.take(tokens, flat_src, axis=0)
+        seen = jnp.take(seen, flat_src, axis=0)
+        fin_prev = jnp.take(finished, flat_src, axis=0)
+        flp = jnp.take(fin_len, flat_src, axis=0)
+        cache = gpt_model.KVCache(jnp.take(cache.k, flat_src, axis=1),
+                                  jnp.take(cache.v, flat_src, axis=1))
+        tok_flat = tok.reshape(bn)
+        # already-finished beams keep emitting stop (not re-recorded)
+        tokens = jnp.where(fin_prev[:, None],
+                           tokens,
+                           tokens.at[:, j].set(tok_flat))
+        seen = seen.at[jnp.arange(bn), tok_flat].set(True)
+        newly_fin = (~fin_prev) & (tok_flat == cfg.stop_mel_token)
+        fin_len_new = jnp.where(newly_fin, j + 1, flp)
+        finished = fin_prev | newly_fin
+        return (j + 1, tokens, tok_flat, top_s.reshape(bn), cache,
+                finished, fin_len_new, seen)
+
+    state = (jnp.int32(1), tokens0, prev0, beam_scores0, cache, fin0,
+             fin_len0, seen0)
+    j, tokens, _, beam_scores, _, finished, fin_len, _ = jax.lax.while_loop(
+        cond_fn, body_fn, state)
+
+    # pick best beam per row by length-penalised score
+    lens = jnp.where(finished, fin_len, j).astype(jnp.float32)
+    final = beam_scores / jnp.power(jnp.maximum(lens, 1.0), length_penalty)
+    best = jnp.argmax(final.reshape(b, nb), axis=1)      # (B,)
+    idx = jnp.arange(b) * nb + best
+    out_tokens = jnp.take(tokens, idx, axis=0)
+    is_stop = out_tokens == cfg.stop_mel_token
+    any_stop = jnp.any(is_stop, axis=1)
+    first_stop = jnp.argmax(is_stop, axis=1)
+    lengths = jnp.where(any_stop, first_stop, max_steps)
+    return GenerateResult(out_tokens, lengths, j)

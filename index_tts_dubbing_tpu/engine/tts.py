@@ -291,6 +291,11 @@ class IndexTTS:
         return sub
 
     def _sampling_config(self, kw: Dict[str, Any]) -> SamplingConfig:
+        # reference defaults (infer.py:326-334); num_beams>1 routes to the
+        # deterministic beam search (the reference's HF beam_sample becomes
+        # plain sampling when beams are disabled).
+        self._num_beams = kw.pop("num_beams", 1)
+        self._length_penalty = kw.pop("length_penalty", 0.0)
         return SamplingConfig(
             do_sample=kw.pop("do_sample", True),
             top_p=kw.pop("top_p", 0.8),
@@ -298,6 +303,8 @@ class IndexTTS:
             temperature=kw.pop("temperature", 1.0),
             repetition_penalty=kw.pop("repetition_penalty", 10.0),
             max_mel_tokens=kw.pop("max_mel_tokens", 600),
+            typical_sampling=kw.pop("typical_sampling", False),
+            typical_mass=kw.pop("typical_mass", 0.9),
         )
 
     def _decode_batch(self, conds, token_rows: List[np.ndarray],
@@ -310,8 +317,14 @@ class IndexTTS:
         emb, keep = decode_mod.build_prefix_emb(
             self.params["gpt"], self.gpt_cfg, conds,
             pre["ids"], pre["pos"], pre["seg"], pre["cond_idx"])
-        res = decode_mod.generate(self.params["gpt"], self.gpt_cfg, sc,
-                                  emb, keep, self._next_key())
+        if getattr(self, "_num_beams", 1) > 1:
+            res = decode_mod.generate_beam(
+                self.params["gpt"], self.gpt_cfg, sc, emb, keep,
+                num_beams=self._num_beams,
+                length_penalty=self._length_penalty)
+        else:
+            res = decode_mod.generate(self.params["gpt"], self.gpt_cfg, sc,
+                                      emb, keep, self._next_key())
         return np.asarray(res.codes), np.asarray(res.lengths)
 
     def _latents(self, conds, text_tokens: np.ndarray, codes: np.ndarray,
