@@ -22,7 +22,9 @@ from index_tts_dubbing_tpu.dubbing.logger import get_logger
 class IndexTTSEngine(BaseTTSEngine):
     _INFER_KWARGS = {"do_sample", "top_p", "top_k", "temperature",
                      "repetition_penalty", "max_mel_tokens",
-                     "max_text_tokens_per_sentence"}
+                     "max_text_tokens_per_sentence", "num_beams",
+                     "length_penalty", "typical_sampling", "typical_mass",
+                     "verbose"}
 
     def __init__(self, engine=None, **init_kwargs):
         from index_tts_dubbing_tpu.engine.tts import IndexTTS
@@ -43,6 +45,18 @@ class IndexTTSEngine(BaseTTSEngine):
                                  **self._filter_kwargs(kwargs))
         audio = wav.flatten().astype(np.float32) / AUDIO.AUDIO_NORMALIZATION_FACTOR
         return audio, sr
+
+    def synthesize_batch(self, texts, **kwargs):
+        """Batched synthesis across SRT entries (one bucketed TPU workload
+        instead of per-entry sequential inference)."""
+        voice_reference = kwargs.get("voice_reference")
+        if not voice_reference:
+            raise ValueError("voice_reference is required")
+        outs = self.tts.infer_batch(voice_reference, list(texts),
+                                    **self._filter_kwargs(kwargs))
+        return [(wav.flatten().astype(np.float32)
+                 / AUDIO.AUDIO_NORMALIZATION_FACTOR, sr)
+                for sr, wav in outs]
 
     def synthesize_to_duration(self, text: str, target_duration: float,
                                **kwargs) -> Tuple[np.ndarray, int]:

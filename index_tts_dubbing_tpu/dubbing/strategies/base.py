@@ -30,6 +30,20 @@ class TimeSyncStrategy(ABC):
                         ) -> List[Dict[str, Any]]:
         ...
 
+    def batch_synthesize(self, entries: List[SRTEntry], **kwargs):
+        """Synthesize all entries in one bucketed batch when the engine
+        supports it (TPU-native replacement for the reference's sequential
+        per-entry loop). Returns list of (audio, sr) or None on fallback."""
+        if not kwargs.get("batched", True):
+            return None
+        fn = getattr(self.tts_engine, "synthesize_batch", None)
+        if fn is None:
+            return None
+        try:
+            return fn([e.text for e in entries], **kwargs)
+        except Exception:
+            return None
+
     @staticmethod
     def make_segment(entry: SRTEntry, audio_data) -> Dict[str, Any]:
         return {"audio_data": audio_data, "start_time": entry.start_time,

@@ -31,13 +31,17 @@ class BasicStrategy(TimeSyncStrategy):
             raise ValueError("voice_reference is required")
         proc = create_process_logger("basic strategy synthesis")
         proc.start(f"{len(entries)} entries")
+        batch = self.batch_synthesize(entries, **kwargs)
         segments: List[Dict[str, Any]] = []
         for i, entry in enumerate(entries):
             preview = entry.text[:LOG.PROGRESS_TEXT_PREVIEW_LENGTH]
             proc.progress(i + 1, len(entries), f"entry {entry.index}: {preview}")
             try:
                 assert self.tts_engine is not None, "no TTS engine injected"
-                audio, sr = self.tts_engine.synthesize(entry.text, **kwargs)
+                if batch is not None:
+                    audio, sr = batch[i]
+                else:
+                    audio, sr = self.tts_engine.synthesize(entry.text, **kwargs)
                 segments.append(self.make_segment(entry, audio))
             except Exception as e:
                 log.error(f"entry {entry.index} failed: {e}")

@@ -45,13 +45,17 @@ class StretchStrategy(TimeSyncStrategy):
         verbose = kwargs.get("verbose", False)
         proc = create_process_logger("stretch strategy synthesis")
         proc.start(f"{len(entries)} entries")
+        batch = self.batch_synthesize(entries, **kwargs)
         segments: List[Dict[str, Any]] = []
         for i, entry in enumerate(entries):
             preview = entry.text[:LOG.PROGRESS_TEXT_PREVIEW_LENGTH]
             proc.progress(i + 1, len(entries), f"entry {entry.index}: {preview}")
             try:
                 assert self.tts_engine is not None, "no TTS engine injected"
-                audio, sr = self.tts_engine.synthesize(entry.text, **kwargs)
+                if batch is not None:
+                    audio, sr = batch[i]
+                else:
+                    audio, sr = self.tts_engine.synthesize(entry.text, **kwargs)
                 src_dur = len(audio) / sr
                 tgt_dur = entry.duration
                 rate = 1.0 if tgt_dur == 0 else src_dur / tgt_dur

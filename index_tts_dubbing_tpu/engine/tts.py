@@ -448,6 +448,75 @@ class IndexTTS:
         self._report(times, fast=True)
         return self._emit(wav, sr, output_path)
 
+    def infer_batch(self, audio_prompt, texts: Sequence[str], verbose=False,
+                    max_text_tokens_per_sentence=120, **generation_kwargs
+                    ) -> List[Tuple[int, np.ndarray]]:
+        """Batched multi-utterance synthesis: all texts' sentences are
+        bucketed and decoded together, then reassembled per text.
+
+        This is the TPU-native replacement for the dubbing layer's
+        per-segment sequential `infer()` loop (SURVEY §2.3/§7 step 8:
+        strategies/*.py call one full inference per SRT entry) — an SRT file
+        becomes one batched workload. Returns [(sr, int16 wav)] per text.
+        """
+        start_time = time.perf_counter()
+        times = StageTimes()
+        cond_mel = self._cond_mel(audio_prompt)
+        conds = self._conditioning(cond_mel)
+        sc = self._sampling_config(generation_kwargs)
+        sr = self.cfg.mel.sample_rate
+        spk = self.vocoder.speaker_embedding(
+            jnp.asarray(cond_mel.transpose(0, 2, 1)))
+
+        # flatten texts → sentences with back-references
+        flat_sents: List[List[str]] = []
+        owners: List[int] = []
+        for ti, text in enumerate(texts):
+            tokens = self.tokenizer.tokenize(text)
+            sents = self.tokenizer.split_sentences(
+                tokens, max_text_tokens_per_sentence) or [[]]
+            for s in sents:
+                flat_sents.append(s)
+                owners.append(ti)
+
+        buckets = bucket_sentences(flat_sents, bucket_max_size=8)
+        latents_by_sent: Dict[int, np.ndarray] = {}
+        for bucket in buckets:
+            rows = [np.asarray(
+                self.tokenizer.convert_tokens_to_ids(item["sent"]), np.int32)
+                for item in bucket]
+            if not rows or all(r.size == 0 for r in rows):
+                continue
+            rows = [r if r.size else np.array([2], np.int32) for r in rows]
+            t0 = time.perf_counter()
+            codes, _ = self._decode_batch(conds, rows, sc)
+            times.gpt_gen += time.perf_counter() - t0
+            for i, item in enumerate(bucket):
+                row_codes, row_lens = remove_long_silence(
+                    codes[i:i + 1], self.stop_mel_token)
+                t0 = time.perf_counter()
+                latent = self._latents(conds, rows[i], row_codes[0],
+                                       int(row_lens[0]))
+                times.gpt_forward += time.perf_counter() - t0
+                latents_by_sent[item["idx"]] = latent
+
+        outs: List[Tuple[int, np.ndarray]] = []
+        for ti in range(len(texts)):
+            lats = [latents_by_sent[si] for si in range(len(flat_sents))
+                    if owners[si] == ti and si in latents_by_sent]
+            if not lats:
+                outs.append((sr, np.zeros((0, 1), np.int16)))
+                continue
+            t0 = time.perf_counter()
+            wav = self.vocoder(np.concatenate(lats, axis=0), spk=spk)
+            times.bigvgan += time.perf_counter() - t0
+            wav = np.clip(wav * 32767.0, -32767.0, 32767.0).astype(np.int16)
+            outs.append((sr, wav[:, None]))
+        times.total = time.perf_counter() - start_time
+        times.audio_seconds = sum(w.shape[0] for _, w in outs) / sr
+        self._report(times, fast=True)
+        return outs
+
     # ------------------------------------------------------------------
     def _report(self, times: StageTimes, fast: bool = False) -> None:
         tag = "[fast] " if fast else ""

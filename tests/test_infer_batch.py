@@ -1,0 +1,38 @@
+"""Batched multi-utterance synthesis (infer_batch) and its dubbing hookup."""
+import numpy as np
+import pytest
+
+from index_tts_dubbing_tpu.engine.tts import IndexTTS
+from tests.test_engine import small_config, _prompt_wav
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return IndexTTS(config=small_config(), verbose_init=False)
+
+
+def test_infer_batch(engine, tmp_path):
+    p = _prompt_wav(tmp_path)
+    outs = engine.infer_batch(str(p), ["ab ab.", "cd cd cd.", "e."],
+                              max_mel_tokens=12, do_sample=False)
+    assert len(outs) == 3
+    for sr, wav in outs:
+        assert sr == 24000
+        assert wav.ndim == 2 and wav.shape[0] > 0
+
+
+def test_batched_strategy_uses_batch(engine, tmp_path):
+    from index_tts_dubbing_tpu.dubbing.engines.index_tts import IndexTTSEngine
+    from index_tts_dubbing_tpu.dubbing.srt_parser import SRTParser
+    from index_tts_dubbing_tpu.dubbing.strategies import get_strategy
+
+    p = _prompt_wav(tmp_path)
+    eng = IndexTTSEngine(engine=engine)
+    entries = SRTParser().parse_content(
+        "1\n00:00:00,000 --> 00:00:01,000\nab ab.\n\n"
+        "2\n00:00:01,000 --> 00:00:02,000\ncd cd.\n")
+    strat = get_strategy("basic", eng)
+    segs = strat.process_entries(entries, voice_reference=str(p),
+                                 max_mel_tokens=12, do_sample=False)
+    assert len(segs) == 2
+    assert all(s["audio_data"].size > 0 for s in segs)
