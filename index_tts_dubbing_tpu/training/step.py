@@ -57,3 +57,28 @@ def train_step(state: TrainState, batch: Dict[str, Any], cfg: GPTConfig,
     params = optax.apply_updates(state.params, updates)
     metrics["loss"] = loss
     return TrainState(params, opt_state, state.step + 1), metrics
+
+
+# --- checkpointing ----------------------------------------------------------
+
+def save_state(path: str, state: TrainState) -> None:
+    """Persist params+opt_state+step as one npz tree (resume-capable — the
+    reference has load-only checkpoints, SURVEY §5)."""
+    from index_tts_dubbing_tpu.utils.checkpoint import save_params
+    import numpy as np
+
+    save_params(path, {"params": jax.tree.map(np.asarray, state.params),
+                       "opt_state": jax.tree.map(
+                           np.asarray, jax.tree.flatten(state.opt_state)[0]),
+                       "step": np.asarray(state.step)})
+
+
+def load_state(path: str, tx: optax.GradientTransformation,
+               like: TrainState) -> TrainState:
+    from index_tts_dubbing_tpu.utils.checkpoint import load_params
+
+    tree = load_params(path)
+    flat_opt, treedef = jax.tree.flatten(like.opt_state)
+    opt_state = jax.tree.unflatten(treedef, tree["opt_state"])
+    return TrainState(tree["params"], opt_state,
+                      jnp.asarray(tree["step"]))
