@@ -12,11 +12,19 @@ decode length is fixed by max_mel_tokens so the workload is deterministic
 and timing-representative: the same matmuls/kernels run as with real
 weights.
 """
+import faulthandler
 import json
 import sys
 import time
 
 import numpy as np
+
+faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
+
+
+def log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main():
@@ -28,8 +36,10 @@ def main():
     from index_tts_dubbing_tpu.utils.config import EngineConfig
 
     fp16 = "--fp32" not in sys.argv
+    log("engine init...")
     engine = IndexTTS(config=EngineConfig(), is_fp16=fp16,
                       verbose_init=False, seed=0)
+    log("engine ready")
 
     sr = engine.cfg.mel.sample_rate
     rng = np.random.default_rng(0)
@@ -51,8 +61,10 @@ def main():
 
     def run_once():
         t0 = time.perf_counter()
+        log("decode...")
         codes, lens = engine._decode_batch(conds, rows, sc)
         t_decode = time.perf_counter() - t0
+        log(f"decode done {t_decode:.1f}s")
         total_codes = 0
         t_latent = t_vocode = 0.0
         wav_samples = 0
@@ -68,6 +80,7 @@ def main():
             wav = engine.vocoder(latent, spk=spk)
             t_vocode += time.perf_counter() - t0
             wav_samples += wav.size
+        log(f"latent {t_latent:.1f}s vocode {t_vocode:.1f}s")
         return t_decode, t_latent, t_vocode, total_codes, wav_samples
 
     run_once()  # warmup: compiles every static shape
