@@ -51,6 +51,50 @@ def conv2d_subsample2(p: Params, x: jnp.ndarray, mask: jnp.ndarray
     return h, mask[:, 2::2]
 
 
+def linear_no_subsample(p: Params, x: jnp.ndarray, mask: jnp.ndarray
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """LinearNoSubsampling (subsampling.py:35-78): linear + layer norm."""
+    h = nn.layer_norm(p["ln"], nn.linear(p["out"], x))
+    return h, mask
+
+
+def conv2d_subsample4(p: Params, x: jnp.ndarray, mask: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Conv2dSubsampling4 (subsampling.py:189-244): two k3-s2 convs → ×1/4."""
+    h = x[:, :, :, None]
+    h = jax.nn.relu(nn.conv2d(p["conv0"], h, stride=(2, 2), padding="VALID"))
+    h = jax.nn.relu(nn.conv2d(p["conv1"], h, stride=(2, 2), padding="VALID"))
+    b, t2, f2, c = h.shape
+    h = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, t2, c * f2)
+    h = nn.linear(p["out"], h)
+    return h, mask[:, 2::2][:, 2::2]
+
+
+def conv2d_subsample6(p: Params, x: jnp.ndarray, mask: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Conv2dSubsampling6 (subsampling.py:247-297): k3-s2 then k5-s3 → ×1/6."""
+    h = x[:, :, :, None]
+    h = jax.nn.relu(nn.conv2d(p["conv0"], h, stride=(2, 2), padding="VALID"))
+    h = jax.nn.relu(nn.conv2d(p["conv1"], h, stride=(3, 3), padding="VALID"))
+    b, t2, f2, c = h.shape
+    h = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, t2, c * f2)
+    h = nn.linear(p["out"], h)
+    return h, mask[:, 2::2][:, 4::3]
+
+
+def conv2d_subsample8(p: Params, x: jnp.ndarray, mask: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Conv2dSubsampling8 (subsampling.py:300-348): three k3-s2 convs → ×1/8."""
+    h = x[:, :, :, None]
+    h = jax.nn.relu(nn.conv2d(p["conv0"], h, stride=(2, 2), padding="VALID"))
+    h = jax.nn.relu(nn.conv2d(p["conv1"], h, stride=(2, 2), padding="VALID"))
+    h = jax.nn.relu(nn.conv2d(p["conv2"], h, stride=(2, 2), padding="VALID"))
+    b, t2, f2, c = h.shape
+    h = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, t2, c * f2)
+    h = nn.linear(p["out"], h)
+    return h, mask[:, 2::2][:, 2::2][:, 2::2]
+
+
 def rel_pos_mha(p: Params, x: jnp.ndarray, pos_emb: jnp.ndarray,
                 mask: jnp.ndarray, heads: int) -> jnp.ndarray:
     """Transformer-XL style rel-pos MHA, rel_shift disabled

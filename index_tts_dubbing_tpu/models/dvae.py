@@ -13,6 +13,7 @@ psum-over-``data`` when run under a mesh).
 """
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Any, Dict, NamedTuple, Tuple
 
@@ -115,6 +116,20 @@ def forward_train(params: Params, cfg: DVAEConfig, mel: jnp.ndarray
     ad = jnp.abs(d)
     recon_loss = jnp.mean(jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5))
     return recon_loss, commitment, recon
+
+
+def discretization_loss(soft_onehot: jnp.ndarray, dim: int,
+                        expected_variance: float) -> jnp.ndarray:
+    """Fit mean code-utilisation to a zero-mean normal PDF
+    (DiscretizationLoss, xtts_dvae.py:135-168, without the rolling
+    accumulator — stateless form for jit)."""
+    axes = tuple(i for i in range(soft_onehot.ndim) if i != dim)
+    averaged = jnp.sum(soft_onehot, axis=axes) / jnp.sum(soft_onehot)
+    averaged = averaged - jnp.mean(averaged)
+    var = expected_variance
+    log_prob = (-0.5 * jnp.square(averaged / var)
+                - jnp.log(var) - 0.5 * math.log(2 * math.pi))
+    return jnp.sum(-log_prob)
 
 
 class EMAState(NamedTuple):
