@@ -8,18 +8,13 @@ halo ≥ the generator's total receptive field, the stitched waveform equals the
 exact full-sequence computation (convs have finite support; the anti-aliased
 snake is pointwise in time apart from its 12-tap FIRs).
 
-Compile-time design: the reference network is 6 stages × 3 parallel AMP
-resblocks × 3 sequential conv pairs = ~110 convolutions + ~110 anti-aliased
-activations — an enormous HLO that the TPU compiler chews on for minutes. The
-fused path rewrites each stage, **exactly**, as:
-
-- the 3 parallel resblocks become channel groups of one grouped conv
-  (feature_group_count=3) over 3·C channels;
-- the 3 sequential conv pairs become a ``lax.scan`` after zero-padding every
-  dilated kernel to a common dense width (a dilated conv IS a dense conv with
-  zeros between taps);
-
-so a stage compiles 2 convs + 2 activations instead of 18 + 36.
+Compile-time note: an alternative "fused" stage form
+(_vocode_window_fused: resblock branches → channel groups, conv pairs →
+lax.scan over width-unified dense kernels) is mathematically exact but
+inflates early-stage kernels ~50× (width-51 dense × 3 branches at C=768),
+which this backend's compiler cannot handle; the default window function
+keeps the reference structure. Small windows + the persistent compilation
+cache keep the one-time compile bounded.
 """
 from __future__ import annotations
 
@@ -36,11 +31,10 @@ from index_tts_dubbing_tpu.models.bigvgan import BigVGANConfig
 from index_tts_dubbing_tpu.ops.alias_free import (downsample2, snake_beta,
                                                   snake, upsample2)
 
-# conservative halo: BigVGAN's receptive field measured in *input* (latent)
-# frames. conv_pre(±3) + per-stage dilated convs (k up to 11, dil up to 5 →
-# ±25 output-frames, shrinking by the upsample factor when mapped back to
-# input frames) + 12-tap FIRs. 32 input frames ≫ the true bound.
-DEFAULT_HALO = 32
+# halo: BigVGAN's receptive field in *input* (latent) frames. conv_pre(±3)
+# + per-stage dilated convs mapped back through the upsample factors + the
+# 12-tap FIRs ≈ ±12 frames; 16 verified bit-exact (tests).
+DEFAULT_HALO = 16
 
 
 def fuse_bigvgan_params(params: Dict[str, Any], cfg: BigVGANConfig
@@ -122,10 +116,13 @@ def _aa(x, alpha, beta, cfg: BigVGANConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _vocode_window(params: Dict[str, Any], cfg: BigVGANConfig,
-                   latent: jnp.ndarray, spk: jnp.ndarray) -> jnp.ndarray:
-    """One fixed-shape window (B, W, gpt_dim) + precomputed speaker embedding
-    (B, 1, spk_dim) → wav (B, W·1024). Fused grouped/scanned form."""
+def _vocode_window_fused(params: Dict[str, Any], cfg: BigVGANConfig,
+                         latent: jnp.ndarray, spk: jnp.ndarray) -> jnp.ndarray:
+    """Grouped/scanned window form. NOTE: the kernel-width unification
+    inflates early-stage weights (width 51 × 3 branches at C≥768 ⇒ GB-scale
+    padded kernels), which this backend's compiler handles terribly — kept
+    for low-channel configs and future per-stage-width refinement; the
+    default path is the reference-structured one below."""
     import index_tts_dubbing_tpu.nn as nn
     from jax import lax
 
@@ -161,6 +158,36 @@ def _vocode_window(params: Dict[str, Any], cfg: BigVGANConfig,
     return jnp.tanh(x)[..., 0]
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _vocode_window(params: Dict[str, Any], cfg: BigVGANConfig,
+                   latent: jnp.ndarray, spk: jnp.ndarray) -> jnp.ndarray:
+    """One fixed-shape window (B, W, gpt_dim) + precomputed speaker embedding
+    (B, 1, spk_dim) → wav (B, W·1024). Reference-structured stages with the
+    polyphase anti-aliased activations."""
+    import index_tts_dubbing_tpu.nn as nn
+
+    x = nn.conv1d(params["conv_pre"], latent, padding=3)
+    x = x + nn.conv1d(params["cond_layer"], spk, padding=(0, 0))
+    for i in range(cfg.num_upsamples):
+        u = cfg.upsample_rates[i]
+        k = cfg.upsample_kernel_sizes[i]
+        x = nn.conv_transpose1d(params["ups"][i], x, stride=u,
+                                padding=(k - u) // 2)
+        if cfg.cond_in_each_up_layer:
+            x = x + nn.conv1d(params["conds"][i], spk, padding=(0, 0))
+        xs = None
+        for j in range(cfg.num_kernels):
+            rb = params["resblocks"][i * cfg.num_kernels + j]
+            y = bigvgan_model._amp_block(cfg, rb, x,
+                                         cfg.resblock_kernel_sizes[j],
+                                         cfg.resblock_dilation_sizes[j])
+            xs = y if xs is None else xs + y
+        x = xs / cfg.num_kernels
+    x = bigvgan_model._act(cfg, params["act_post"], x)
+    x = nn.conv1d(params["conv_post"], x, padding=3)
+    return jnp.tanh(x)[..., 0]
+
+
 @partial(jax.jit, static_argnames=())
 def speaker_embedding(params: Dict[str, Any], mel_ref: jnp.ndarray) -> jnp.ndarray:
     return ecapa.forward(params["speaker_encoder"], mel_ref)
@@ -170,8 +197,8 @@ class WindowedVocoder:
     """Stateless driver: vocode arbitrary-length latents at static shapes."""
 
     def __init__(self, params: Dict[str, Any], cfg: BigVGANConfig,
-                 window: int = 64, halo: int = DEFAULT_HALO):
-        self.params = fuse_bigvgan_params(params, cfg)
+                 window: int = 48, halo: int = DEFAULT_HALO):
+        self.params = params
         self.cfg = cfg
         self.window = window
         self.halo = halo
