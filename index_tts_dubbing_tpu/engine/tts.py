@@ -327,26 +327,52 @@ class IndexTTS:
                                       emb, keep, self._next_key())
         return np.asarray(res.codes), np.asarray(res.lengths)
 
+    def _bucket_dims(self, lt: int, code_len: int) -> Tuple[int, int]:
+        lb = next((b for b in self.TEXT_BUCKETS if b >= lt), lt)
+        lb = max(min(lb, self.gpt_cfg.max_text_tokens), lt)
+        mb = next((b for b in self.CODE_BUCKETS if b >= code_len), code_len)
+        mb = max(min(mb, self.gpt_cfg.max_mel_tokens), code_len)
+        return lb, mb
+
     def _latents(self, conds, text_tokens: np.ndarray, codes: np.ndarray,
                  code_len: int) -> np.ndarray:
         """Latent pass for one row at bucketed static shapes; returns
         (code_len, C)."""
-        lt = text_tokens.size
-        lb = next((b for b in self.TEXT_BUCKETS if b >= lt), lt)
-        lb = min(lb, self.gpt_cfg.max_text_tokens)
-        lb = max(lb, lt)
-        mb = next((b for b in self.CODE_BUCKETS if b >= code_len), code_len)
-        mb = min(mb, self.gpt_cfg.max_mel_tokens)
-        mb = max(mb, code_len)
-        text = np.full((1, lb), self.gpt_cfg.stop_text_token, np.int32)
-        text[0, :lt] = text_tokens
-        cpad = np.full((1, mb), self.stop_mel_token, np.int32)
-        cpad[0, :code_len] = codes[:code_len]
-        lat = _latent_jit(self.params["gpt"], self.gpt_cfg, conds,
-                          jnp.asarray(text), jnp.asarray(np.array([lt])),
-                          jnp.asarray(cpad),
-                          jnp.asarray(np.array([code_len])))
-        return np.asarray(lat)[0, :code_len]
+        return self._latents_batch(conds,
+                                   [(text_tokens, codes, code_len)])[0]
+
+    def _latents_batch(self, conds, rows) -> List[np.ndarray]:
+        """Latent passes for many (text_tokens, codes, code_len) rows,
+        grouped by bucket shape so each group is ONE batched forward (the
+        reference runs batch-size-1 per row, infer.py:430-435)."""
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        dims = []
+        for i, (text_tokens, codes, code_len) in enumerate(rows):
+            lb, mb = self._bucket_dims(text_tokens.size, code_len)
+            groups.setdefault((lb, mb), []).append(i)
+            dims.append((lb, mb))
+        out: List[Optional[np.ndarray]] = [None] * len(rows)
+        for (lb, mb), idxs in groups.items():
+            g = len(idxs)
+            text = np.full((g, lb), self.gpt_cfg.stop_text_token, np.int32)
+            cpad = np.full((g, mb), self.stop_mel_token, np.int32)
+            tlens = np.zeros(g, np.int64)
+            clens = np.zeros(g, np.int64)
+            for gi, i in enumerate(idxs):
+                text_tokens, codes, code_len = rows[i]
+                text[gi, :text_tokens.size] = text_tokens
+                cpad[gi, :code_len] = codes[:code_len]
+                tlens[gi] = text_tokens.size
+                clens[gi] = code_len
+            cnds = conds
+            if cnds.shape[0] == 1 and g > 1:
+                cnds = jnp.broadcast_to(cnds, (g,) + cnds.shape[1:])
+            lat = np.asarray(_latent_jit(
+                self.params["gpt"], self.gpt_cfg, cnds, jnp.asarray(text),
+                jnp.asarray(tlens), jnp.asarray(cpad), jnp.asarray(clens)))
+            for gi, i in enumerate(idxs):
+                out[i] = lat[gi, : int(clens[gi])]
+        return out  # type: ignore[return-value]
 
     # ------------------------------------------------------------------
     def _set_gr_progress(self, value, desc):
@@ -414,7 +440,7 @@ class IndexTTS:
             jnp.asarray(cond_mel.transpose(0, 2, 1)))
 
         all_idx: List[int] = []
-        all_latents: List[np.ndarray] = []
+        lat_rows: List[Tuple[np.ndarray, np.ndarray, int]] = []
         for bucket in buckets:
             rows = [np.asarray(
                 self.tokenizer.convert_tokens_to_ids(item["sent"]), np.int32)
@@ -425,12 +451,11 @@ class IndexTTS:
             for i, item in enumerate(bucket):
                 row_codes, row_lens = remove_long_silence(
                     codes[i:i + 1], self.stop_mel_token)
-                t0 = time.perf_counter()
-                latent = self._latents(conds, rows[i], row_codes[0],
-                                       int(row_lens[0]))
-                times.gpt_forward += time.perf_counter() - t0
                 all_idx.append(item["idx"])
-                all_latents.append(latent)
+                lat_rows.append((rows[i], row_codes[0], int(row_lens[0])))
+        t0 = time.perf_counter()
+        all_latents = self._latents_batch(conds, lat_rows)
+        times.gpt_forward += time.perf_counter() - t0
         # restore order, stitch latents, windowed vocode over the whole stream
         order = np.argsort(all_idx)
         latents = [all_latents[i] for i in order]
@@ -480,7 +505,8 @@ class IndexTTS:
                 owners.append(ti)
 
         buckets = bucket_sentences(flat_sents, bucket_max_size=8)
-        latents_by_sent: Dict[int, np.ndarray] = {}
+        sent_ids: List[int] = []
+        lat_rows: List[Tuple[np.ndarray, np.ndarray, int]] = []
         for bucket in buckets:
             rows = [np.asarray(
                 self.tokenizer.convert_tokens_to_ids(item["sent"]), np.int32)
@@ -494,11 +520,12 @@ class IndexTTS:
             for i, item in enumerate(bucket):
                 row_codes, row_lens = remove_long_silence(
                     codes[i:i + 1], self.stop_mel_token)
-                t0 = time.perf_counter()
-                latent = self._latents(conds, rows[i], row_codes[0],
-                                       int(row_lens[0]))
-                times.gpt_forward += time.perf_counter() - t0
-                latents_by_sent[item["idx"]] = latent
+                sent_ids.append(item["idx"])
+                lat_rows.append((rows[i], row_codes[0], int(row_lens[0])))
+        t0 = time.perf_counter()
+        lat_list = self._latents_batch(conds, lat_rows)
+        times.gpt_forward += time.perf_counter() - t0
+        latents_by_sent: Dict[int, np.ndarray] = dict(zip(sent_ids, lat_list))
 
         outs: List[Tuple[int, np.ndarray]] = []
         for ti in range(len(texts)):
