@@ -209,34 +209,36 @@ def trunk_decode_step(params: Params, cfg: GPTConfig, x: jnp.ndarray,
     """One decode step. x (B, C) embedding of the current token; ``pos`` the
     cache slot it occupies; key_keep (B, S) validity mask over cache slots
     (True = attend). Returns hidden (B, C) after ln_f and the updated cache."""
+    # NOTE: this step runs inside the decode lax.while_loop. A lax.scan over
+    # layers here (scan nested in while_loop) makes this backend's compiler
+    # pathologically slow (minutes vs ~17 s unrolled), so the layer loop is
+    # deliberately UNROLLED; the stacked param layout is kept (sliced per
+    # layer), and prefill/full-forward remain scans.
     params = _ensure_stacked(params)
     kbias = jnp.where(key_keep, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
     scale = 1.0 / math.sqrt(cfg.head_dim)
-
-    def body(x, layer):
-        blk, k_l, v_l = layer
+    blocks = params["blocks"]
+    k_all, v_all = cache.k, cache.v
+    for li in range(cfg.layers):
+        blk = jax.tree.map(lambda a: a[li], blocks)
         h = nn.layer_norm(blk["ln1"], x)
         qkv = nn.linear(blk["attn"]["qkv"], h[:, None, :])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = nn.split_heads(q, cfg.heads)            # (B,H,1,D)
         k = nn.split_heads(k, cfg.heads)
         v = nn.split_heads(v, cfg.heads)
-        k_l = jax.lax.dynamic_update_slice(
-            k_l, k.astype(k_l.dtype), (0, 0, pos, 0))
-        v_l = jax.lax.dynamic_update_slice(
-            v_l, v.astype(v_l.dtype), (0, 0, pos, 0))
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_l.astype(q.dtype),
+        k_all = jax.lax.dynamic_update_slice(
+            k_all, k[None].astype(k_all.dtype), (li, 0, 0, pos, 0))
+        v_all = jax.lax.dynamic_update_slice(
+            v_all, v[None].astype(v_all.dtype), (li, 0, 0, pos, 0))
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k_all[li].astype(q.dtype),
                             preferred_element_type=jnp.float32) * scale
         logits = logits + kbias
         w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        o = jnp.einsum("bhqk,bhkd->bhqd", w, v_l.astype(x.dtype),
+        o = jnp.einsum("bhqk,bhkd->bhqd", w, v_all[li].astype(x.dtype),
                        preferred_element_type=x.dtype)
         x = x + nn.linear(blk["attn"]["proj"], nn.merge_heads(o)[:, 0, :])
         x = x + _mlp(cfg, blk["mlp"], nn.layer_norm(blk["ln2"], x))
-        return x, (k_l, v_l)
-
-    x, (k_all, v_all) = jax.lax.scan(body, x,
-                                     (params["blocks"], cache.k, cache.v))
     h = nn.layer_norm(params["ln_f"], x)
     return h, KVCache(k_all, v_all)
 
