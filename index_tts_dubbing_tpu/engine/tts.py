@@ -307,6 +307,30 @@ class IndexTTS:
             typical_mass=kw.pop("typical_mass", 0.9),
         )
 
+    def _decode_continuous(self, conds, token_rows: List[np.ndarray],
+                           sc: SamplingConfig, batch: int = 8,
+                           chunk: int = 48) -> Tuple[np.ndarray, np.ndarray]:
+        """Continuous-batching decode over many rows: slots are refilled the
+        moment a row finishes (engine/continuous.py), so heterogeneous row
+        lengths don't serialise the chip the way per-bucket decoding does."""
+        from index_tts_dubbing_tpu.engine import continuous as cb
+        batcher = cb.ContinuousBatcher(
+            self.params["gpt"], self.gpt_cfg, sc, conds,
+            batch=min(batch, len(token_rows)), chunk=chunk,
+            text_buckets=self.TEXT_BUCKETS, rng=self._next_key())
+        results = batcher.run(
+            [cb.CBRequest(uid=i, text_ids=r) for i, r in enumerate(token_rows)],
+            dtype=self.dtype)
+        max_len = max((ln for _, ln in results.values()), default=0)
+        codes = np.full((len(token_rows), max(max_len, 1)),
+                        self.stop_mel_token, np.int32)
+        lens = np.zeros(len(token_rows), np.int64)
+        for i in range(len(token_rows)):
+            row, ln = results[i]
+            codes[i, :ln] = row[:ln]
+            lens[i] = ln
+        return codes, lens
+
     def _decode_batch(self, conds, token_rows: List[np.ndarray],
                       sc: SamplingConfig) -> Tuple[np.ndarray, np.ndarray]:
         """AR decode for a batch of token rows at bucketed static shapes."""
@@ -474,7 +498,8 @@ class IndexTTS:
         return self._emit(wav, sr, output_path)
 
     def infer_batch(self, audio_prompt, texts: Sequence[str], verbose=False,
-                    max_text_tokens_per_sentence=120, **generation_kwargs
+                    max_text_tokens_per_sentence=120, continuous=False,
+                    cb_slots=8, **generation_kwargs
                     ) -> List[Tuple[int, np.ndarray]]:
         """Batched multi-utterance synthesis: all texts' sentences are
         bucketed and decoded together, then reassembled per text.
@@ -504,9 +529,24 @@ class IndexTTS:
                 flat_sents.append(s)
                 owners.append(ti)
 
-        buckets = bucket_sentences(flat_sents, bucket_max_size=8)
         sent_ids: List[int] = []
         lat_rows: List[Tuple[np.ndarray, np.ndarray, int]] = []
+        if continuous:
+            rows = [np.asarray(self.tokenizer.convert_tokens_to_ids(s),
+                               np.int32) for s in flat_sents]
+            rows = [r if r.size else np.array([2], np.int32) for r in rows]
+            t0 = time.perf_counter()
+            codes, _ = self._decode_continuous(conds, rows, sc,
+                                               batch=cb_slots)
+            times.gpt_gen += time.perf_counter() - t0
+            for i in range(len(rows)):
+                row_codes, row_lens = remove_long_silence(
+                    codes[i:i + 1], self.stop_mel_token)
+                sent_ids.append(i)
+                lat_rows.append((rows[i], row_codes[0], int(row_lens[0])))
+            buckets = []
+        else:
+            buckets = bucket_sentences(flat_sents, bucket_max_size=8)
         for bucket in buckets:
             rows = [np.asarray(
                 self.tokenizer.convert_tokens_to_ids(item["sent"]), np.int32)
