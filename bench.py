@@ -65,21 +65,23 @@ def main():
         codes, lens = engine._decode_batch(conds, rows, sc)
         t_decode = time.perf_counter() - t0
         log(f"decode done {t_decode:.1f}s")
+        lat_rows = []
         total_codes = 0
-        t_latent = t_vocode = 0.0
-        wav_samples = 0
         for i in range(batch):
             row_codes, row_lens = remove_long_silence(
                 codes[i:i + 1], engine.stop_mel_token)
             n = int(row_lens[0])
             total_codes += n
-            t0 = time.perf_counter()
-            latent = engine._latents(conds, rows[i], row_codes[0], n)
-            t_latent += time.perf_counter() - t0
-            t0 = time.perf_counter()
-            wav = engine.vocoder(latent, spk=spk)
-            t_vocode += time.perf_counter() - t0
-            wav_samples += wav.size
+            lat_rows.append((rows[i], row_codes[0], n))
+        t0 = time.perf_counter()
+        latents = engine._latents_batch(conds, lat_rows)
+        t_latent = time.perf_counter() - t0
+        # one windowed vocode over the stitched latent stream (the
+        # infer_fast/infer_batch production path)
+        t0 = time.perf_counter()
+        wav = engine.vocoder(np.concatenate(latents, axis=0), spk=spk)
+        t_vocode = time.perf_counter() - t0
+        wav_samples = wav.size
         log(f"latent {t_latent:.1f}s vocode {t_vocode:.1f}s")
         return t_decode, t_latent, t_vocode, total_codes, wav_samples
 

@@ -175,7 +175,8 @@ class IndexTTS:
                  config: Optional[EngineConfig] = None,
                  params: Optional[Dict[str, Any]] = None,
                  use_pallas: bool = False, seed: int = 0,
-                 verbose_init: bool = True):
+                 verbose_init: bool = True,
+                 quantize: Optional[str] = None):
         from index_tts_dubbing_tpu.utils.jax_setup import setup_jax
         setup_jax()
         self.cfg = (config if config is not None
@@ -206,6 +207,18 @@ class IndexTTS:
                 lambda x: x.astype(ml_dtypes.bfloat16)
                 if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
                 self.params)
+        if quantize == "int8":
+            # weight-only int8 GPT trunk (utils/quant.py): halves decode
+            # weight streaming; conditioning encoder & embeddings stay full
+            # precision.
+            from index_tts_dubbing_tpu.utils.quant import quantize_gpt_int8
+            self.params["gpt"] = quantize_gpt_int8(self.params["gpt"])
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode: {quantize!r}")
+        # Pin weights on device ONCE. Host numpy params passed to jitted
+        # functions are re-uploaded on every call — on the remote TPU link
+        # that cost ~40 ms/decode-step (~25x the on-device step time).
+        self.params = jax.device_put(self.params)
         self._log = print if verbose_init else (lambda *a, **k: None)
 
         self.normalizer = TextNormalizer()
@@ -215,7 +228,9 @@ class IndexTTS:
             sample_rate=self.cfg.mel.sample_rate, n_fft=self.cfg.mel.n_fft,
             hop_length=self.cfg.mel.hop_length,
             win_length=self.cfg.mel.win_length, n_mels=self.cfg.mel.n_mels)
-        self.vocoder = WindowedVocoder(self.params["bigvgan"], self.bigvgan_cfg)
+        self.vocoder = WindowedVocoder(self.params["bigvgan"],
+                                       self.bigvgan_cfg,
+                                       compute_dtype=self.dtype)
         self.cache_audio_prompt = None
         self.cache_cond_mel = None
         self.gr_progress = None

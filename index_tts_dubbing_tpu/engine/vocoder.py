@@ -162,10 +162,14 @@ def _vocode_window_fused(params: Dict[str, Any], cfg: BigVGANConfig,
 def _vocode_window(params: Dict[str, Any], cfg: BigVGANConfig,
                    latent: jnp.ndarray, spk: jnp.ndarray) -> jnp.ndarray:
     """One fixed-shape window (B, W, gpt_dim) + precomputed speaker embedding
-    (B, 1, spk_dim) → wav (B, W·1024). Reference-structured stages with the
-    polyphase anti-aliased activations."""
+    ((1|B), 1, spk_dim) → wav (B, W·1024). Reference-structured stages with
+    the polyphase anti-aliased activations."""
     import index_tts_dubbing_tpu.nn as nn
 
+    if spk.shape[0] == 1 and latent.shape[0] > 1:
+        # broadcast inside jit: an eager broadcast_to per call costs a
+        # dispatch round-trip on a remote backend
+        spk = jnp.broadcast_to(spk, (latent.shape[0],) + spk.shape[1:])
     x = nn.conv1d(params["conv_pre"], latent, padding=3)
     x = x + nn.conv1d(params["cond_layer"], spk, padding=(0, 0))
     for i in range(cfg.num_upsamples):
@@ -194,14 +198,28 @@ def speaker_embedding(params: Dict[str, Any], mel_ref: jnp.ndarray) -> jnp.ndarr
 
 
 class WindowedVocoder:
-    """Stateless driver: vocode arbitrary-length latents at static shapes."""
+    """Stateless driver: vocode arbitrary-length latents at static shapes.
+
+    Windows are vocoded in BATCHED calls (window-count buckets, padded rows
+    dropped) — per-window math is batch-independent, so outputs stay
+    bit-equal to the sequential loop while one dispatch covers up to
+    ``max_batch`` windows (the per-call RTT on a remote TPU link otherwise
+    dominates: ~30 ms × #windows)."""
+
+    WINDOW_COUNT_BUCKETS = (1, 2, 4, 8, 16, 32)
 
     def __init__(self, params: Dict[str, Any], cfg: BigVGANConfig,
-                 window: int = 48, halo: int = DEFAULT_HALO):
+                 window: int = 48, halo: int = DEFAULT_HALO,
+                 max_batch: int = 32, compute_dtype=None):
         self.params = params
         self.cfg = cfg
         self.window = window
         self.halo = halo
+        self.max_batch = max_batch
+        # bf16 compute matches the reference's fp16-autocast vocoder
+        # (infer.py:613) and is ~8x MXU throughput vs fp32 on TPU; fp32 is
+        # the parity/test default.
+        self.compute_dtype = compute_dtype or jnp.float32
         self.upsample = int(np.prod(cfg.upsample_rates))
 
     def speaker_embedding(self, mel_ref: jnp.ndarray) -> jnp.ndarray:
@@ -229,17 +247,30 @@ class WindowedVocoder:
         full = w + 2 * h
         if t <= full:
             wav = np.asarray(_vocode_window(self.params, self.cfg,
-                                            jnp.asarray(latent[None]), spk))[0]
+                                            jnp.asarray(latent[None],
+                                                        self.compute_dtype),
+                                            spk))[0].astype(np.float32)
             return wav
         out = np.empty(t * up, np.float32)
+        # collect aligned windows, then vocode them in batched calls
+        wins = []   # (start, end, win_lo)
         start = 0
         while start < t:
             end = min(start + w, t)
             win_lo = min(max(0, start - h), t - full)
-            off = start - win_lo
-            lat = latent[win_lo: win_lo + full]
-            wav = np.asarray(_vocode_window(self.params, self.cfg,
-                                            jnp.asarray(lat[None]), spk))[0]
-            out[start * up: end * up] = wav[off * up: (off + end - start) * up]
+            wins.append((start, end, win_lo))
             start = end
+        for c0 in range(0, len(wins), self.max_batch):
+            chunk = wins[c0: c0 + self.max_batch]
+            n = len(chunk)
+            nb = next((b for b in self.WINDOW_COUNT_BUCKETS if b >= n), n)
+            lat = np.zeros((nb, full, latent.shape[1]), np.float32)
+            for i, (_, _, lo) in enumerate(chunk):
+                lat[i] = latent[lo: lo + full]
+            wavs = np.asarray(_vocode_window(
+                self.params, self.cfg,
+                jnp.asarray(lat, self.compute_dtype), spk)).astype(np.float32)
+            for i, (s, e, lo) in enumerate(chunk):
+                off = s - lo
+                out[s * up: e * up] = wavs[i, off * up: (off + e - s) * up]
         return out
