@@ -59,7 +59,15 @@ def linear_init(rng, in_dim: int, out_dim: int, bias: bool = True) -> Params:
 
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype)
+    if "w_q" in p:
+        # weight-only int8 (utils/quant.py): the int8→x.dtype convert fuses
+        # into the dot's operand load, so HBM streams int8; the per-column
+        # scale applies to the (much smaller) output.
+        y = jnp.dot(x, p["w_q"].astype(x.dtype),
+                    preferred_element_type=x.dtype)
+        y = y * p["scale"].astype(x.dtype)
+    else:
+        y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
