@@ -26,6 +26,7 @@ from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from index_tts_dubbing_tpu import nn
 from index_tts_dubbing_tpu.models import gpt as gpt_model
@@ -174,18 +175,42 @@ class GenerateResult(NamedTuple):
     steps: jnp.ndarray      # scalar: decode iterations executed
 
 
-@partial(jax.jit, static_argnames=("cfg", "sc"))
+def _mk_constrain(mesh: Optional[Mesh]):
+    """Sharding-constraint helper for mesh-parallel decode: batch rides the
+    ``data`` axis, attention heads the ``model`` (TP) axis. With mesh=None
+    every constraint is the identity (single-chip path unchanged)."""
+    if mesh is None:
+        return lambda x, *spec: x
+
+    def constrain(x, *spec):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec)))
+    return constrain
+
+
+@partial(jax.jit, static_argnames=("cfg", "sc", "mesh"))
 def generate(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
              prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
-             rng: jax.Array) -> GenerateResult:
-    """Sample mel codes. prefix_emb (B, S0, C) ends with the start_mel slot."""
+             rng: jax.Array, mesh: Optional[Mesh] = None) -> GenerateResult:
+    """Sample mel codes. prefix_emb (B, S0, C) ends with the start_mel slot.
+
+    ``mesh`` (static): a (data, model) jax.sharding.Mesh for DP×TP decode —
+    the KV cache is sharded (L, B→data, H→model, S, D) so the decode loop's
+    state stays distributed; XLA inserts the per-block TP all-reduces from
+    the param shardings (parallel/mesh.py:gpt_param_specs)."""
     b, s0, c = prefix_emb.shape
     max_steps = sc.max_mel_tokens
     s_total = s0 + max_steps
     vocab = cfg.number_mel_codes
+    cs = _mk_constrain(mesh)
+    prefix_emb = cs(prefix_emb, "data")
 
     cache = gpt_model.init_cache(cfg, b, s_total, dtype=prefix_emb.dtype)
+    cache = KVCache(cs(cache.k, None, "data", "model"),
+                    cs(cache.v, None, "data", "model"))
     h, cache = gpt_model.trunk_prefill(params, cfg, prefix_emb, pad_keep, cache)
+    cache = KVCache(cs(cache.k, None, "data", "model"),
+                    cs(cache.v, None, "data", "model"))
 
     # validity over cache slots: prefix pads stay masked; generated slots
     # become valid as the loop advances.
@@ -195,6 +220,7 @@ def generate(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     seen0 = jnp.zeros((b, vocab), bool)
     seen0 = seen0.at[:, sc.fake_prefix_id].set(True)
     seen0 = seen0.at[:, cfg.start_mel_token].set(True)
+    seen0 = cs(seen0, "data")
 
     def sample_token(h, seen, key):
         logits = gpt_model.mel_logits_from_hidden(params, h)
@@ -226,6 +252,8 @@ def generate(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         kk = base_keep & (jnp.arange(s_total)[None, :] <= slot)
         hh, cache = gpt_model.trunk_decode_step(params, cfg, emb, cache,
                                                 slot, kk)
+        cache = KVCache(cs(cache.k, None, "data", "model"),
+                        cs(cache.v, None, "data", "model"))
         tok = sample_token(hh, seen, sub)
         tok = jnp.where(done, cfg.stop_mel_token, tok)
         newly_done = tok == cfg.stop_mel_token

@@ -176,7 +176,8 @@ class IndexTTS:
                  params: Optional[Dict[str, Any]] = None,
                  use_pallas: bool = False, seed: int = 0,
                  verbose_init: bool = True,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 mesh=None):
         from index_tts_dubbing_tpu.utils.jax_setup import setup_jax
         setup_jax()
         self.cfg = (config if config is not None
@@ -218,7 +219,21 @@ class IndexTTS:
         # Pin weights on device ONCE. Host numpy params passed to jitted
         # functions are re-uploaded on every call — on the remote TPU link
         # that cost ~40 ms/decode-step (~25x the on-device step time).
-        self.params = jax.device_put(self.params)
+        # With a mesh: GPT gets megatron-style TP shardings over the
+        # ``model`` axis, the (small, bandwidth-bound) vocoder is replicated
+        # and scales over ``data`` (parallel/mesh.py).
+        self.mesh = mesh
+        if mesh is not None:
+            from index_tts_dubbing_tpu.parallel import mesh as mesh_lib
+            specs = {
+                "gpt": mesh_lib.gpt_param_specs(
+                    self.params["gpt"], model_size=mesh.shape["model"]),
+                "bigvgan": mesh_lib.bigvgan_param_specs(
+                    self.params["bigvgan"]),
+            }
+            self.params = mesh_lib.shard_tree(self.params, specs, mesh)
+        else:
+            self.params = jax.device_put(self.params)
         self._log = print if verbose_init else (lambda *a, **k: None)
 
         self.normalizer = TextNormalizer()
@@ -349,6 +364,13 @@ class IndexTTS:
     def _decode_batch(self, conds, token_rows: List[np.ndarray],
                       sc: SamplingConfig) -> Tuple[np.ndarray, np.ndarray]:
         """AR decode for a batch of token rows at bucketed static shapes."""
+        n_real = len(token_rows)
+        if self.mesh is not None:
+            # batch must tile the data axis: pad with copies of the last row
+            # (their outputs are dropped below)
+            dp = self.mesh.shape["data"]
+            pad_n = (-n_real) % dp
+            token_rows = list(token_rows) + [token_rows[-1]] * pad_n
         lmax = max(r.size for r in token_rows)
         pad_to = next((b for b in self.TEXT_BUCKETS if b >= lmax), lmax)
         pre = decode_mod.prepare_prefix_host(self.gpt_cfg, token_rows,
@@ -363,8 +385,10 @@ class IndexTTS:
                 length_penalty=self._length_penalty)
         else:
             res = decode_mod.generate(self.params["gpt"], self.gpt_cfg, sc,
-                                      emb, keep, self._next_key())
-        return np.asarray(res.codes), np.asarray(res.lengths)
+                                      emb, keep, self._next_key(),
+                                      mesh=self.mesh)
+        return (np.asarray(res.codes)[:n_real],
+                np.asarray(res.lengths)[:n_real])
 
     def _bucket_dims(self, lt: int, code_len: int) -> Tuple[int, int]:
         lb = next((b for b in self.TEXT_BUCKETS if b >= lt), lt)

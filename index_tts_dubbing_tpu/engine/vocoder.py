@@ -260,11 +260,17 @@ class WindowedVocoder:
             win_lo = min(max(0, start - h), t - full)
             wins.append((start, end, win_lo))
             start = end
-        for c0 in range(0, len(wins), self.max_batch):
-            chunk = wins[c0: c0 + self.max_batch]
-            n = len(chunk)
-            nb = next((b for b in self.WINDOW_COUNT_BUCKETS if b >= n), n)
-            lat = np.zeros((nb, full, latent.shape[1]), np.float32)
+        # split the window list into power-of-two batches (largest ≤
+        # max_batch first): every call exactly fills its compiled shape, so
+        # no padded rows are ever computed (17 windows → 16 + 1, not a
+        # padded 32-batch).
+        c0 = 0
+        while c0 < len(wins):
+            rem = len(wins) - c0
+            n = min(self.max_batch, 1 << (rem.bit_length() - 1))
+            chunk = wins[c0: c0 + n]
+            c0 += n
+            lat = np.empty((n, full, latent.shape[1]), np.float32)
             for i, (_, _, lo) in enumerate(chunk):
                 lat[i] = latent[lo: lo + full]
             wavs = np.asarray(_vocode_window(

@@ -75,28 +75,44 @@ def gpt_param_specs(params: Dict[str, Any], model_size: int = 1) -> Dict[str, An
             p = P(None, *p)
         return maybe(node, p)
 
+    def linear_spec(lin, w_p, b_p):
+        """Spec for one linear, plain {"w","b"} or weight-only-int8
+        {"w_q","scale","b"} (utils/quant.py): w_q shards like w; the
+        per-output-channel scale shards with the output dim."""
+        out_ax = w_p[-1]  # output-dim axis name ("model" or None)
+        if "w_q" in lin:
+            sp = {"w_q": blk_spec(lin["w_q"], w_p),
+                  "scale": blk_spec(lin["scale"], P(out_ax))}
+        else:
+            sp = {"w": blk_spec(lin["w"], w_p)}
+        if "b" in lin:
+            sp["b"] = blk_spec(lin["b"], b_p) if b_p != P() else P()
+        return sp
+
     blk_list = [blocks] if stacked else list(blocks)
     spec_list = [specs["blocks"]] if stacked else list(specs["blocks"])
     for blk, sp in zip(blk_list, spec_list):
-        sp["attn"]["qkv"] = {
-            "w": blk_spec(blk["attn"]["qkv"]["w"], P(None, "model")),
-            "b": blk_spec(blk["attn"]["qkv"]["b"], P("model"))}
-        sp["attn"]["proj"] = {
-            "w": blk_spec(blk["attn"]["proj"]["w"], P("model", None)),
-            "b": P()}
-        sp["mlp"]["fc"] = {
-            "w": blk_spec(blk["mlp"]["fc"]["w"], P(None, "model")),
-            "b": blk_spec(blk["mlp"]["fc"]["b"], P("model"))}
-        sp["mlp"]["proj"] = {
-            "w": blk_spec(blk["mlp"]["proj"]["w"], P("model", None)),
-            "b": P()}
+        sp["attn"]["qkv"] = linear_spec(blk["attn"]["qkv"],
+                                        P(None, "model"), P("model"))
+        sp["attn"]["proj"] = linear_spec(blk["attn"]["proj"],
+                                         P("model", None), P())
+        sp["mlp"]["fc"] = linear_spec(blk["mlp"]["fc"],
+                                      P(None, "model"), P("model"))
+        sp["mlp"]["proj"] = linear_spec(blk["mlp"]["proj"],
+                                        P("model", None), P())
     # output heads shard the vocab dim where divisible
-    specs["mel_head"] = {
-        "w": maybe(params["mel_head"]["w"], P(None, "model")),
-        "b": maybe(params["mel_head"]["b"], P("model"))}
-    specs["text_head"] = {
-        "w": maybe(params["text_head"]["w"], P(None, "model")),
-        "b": maybe(params["text_head"]["b"], P("model"))}
+    def head_spec(lin):
+        if "w_q" in lin:
+            sp = {"w_q": maybe(lin["w_q"], P(None, "model")),
+                  "scale": maybe(lin["scale"], P("model"))}
+        else:
+            sp = {"w": maybe(lin["w"], P(None, "model"))}
+        if "b" in lin:
+            sp["b"] = maybe(lin["b"], P("model"))
+        return sp
+
+    specs["mel_head"] = head_spec(params["mel_head"])
+    specs["text_head"] = head_spec(params["text_head"])
     return specs
 
 
