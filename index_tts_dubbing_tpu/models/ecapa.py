@@ -119,6 +119,42 @@ def forward(params: Params, mel: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def classifier_forward(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-similarity speaker classifier head (ECAPA_TDNN.py:584-656):
+    optional (BatchNorm1d → Linear) blocks, then
+    normalize(x) · normalize(W)ᵀ. x (B, 1, D) → (B, 1, out). Training-only
+    in the reference (never called at inference); provided for parity."""
+    for blk in params.get("blocks", []):
+        x = nn.batch_norm(blk["bn"], x)
+        x = x @ blk["lin"]["w"] + blk["lin"]["b"]
+    h = x[:, 0, :]
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    w = params["weight"]
+    w = w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), 1e-12)
+    return (h @ w.T)[:, None, :]
+
+
+def classifier_init(rng, input_size: int, lin_blocks: int = 0,
+                    lin_neurons: int = 192, out_neurons: int = 1211) -> Params:
+    keys = jax.random.split(rng, lin_blocks + 1)
+    p: Params = {"blocks": []}
+    d = input_size
+    for i in range(lin_blocks):
+        limit = float(np.sqrt(6.0 / (d + lin_neurons)))
+        p["blocks"].append({
+            "bn": nn.batch_norm_init(d),
+            "lin": {"w": np.asarray(jax.random.uniform(
+                        keys[i], (d, lin_neurons), jnp.float32,
+                        -limit, limit)),
+                    "b": np.zeros((lin_neurons,), np.float32)},
+        })
+        d = lin_neurons
+    limit = float(np.sqrt(6.0 / (out_neurons + d)))
+    p["weight"] = np.asarray(jax.random.uniform(
+        keys[-1], (out_neurons, d), jnp.float32, -limit, limit))
+    return p
+
+
 # ---------------------------------------------------------------------------
 # init (random weights, used by tests and cold starts)
 # ---------------------------------------------------------------------------
