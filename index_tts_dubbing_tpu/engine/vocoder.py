@@ -192,6 +192,99 @@ def _vocode_window(params: Dict[str, Any], cfg: BigVGANConfig,
     return jnp.tanh(x)[..., 0]
 
 
+# ---------------------------------------------------------------------------
+# C-major (time-minor) window path
+#
+# BigVGAN's late stages have C = 24..96 channels over 20k..80k time steps; in
+# the channels-last layout every vector op uses only C of the 128 lanes and
+# the anti-alias FIR's shifted slices relayout along the sublane axis —
+# measured ~80% of vocoder time. Here the whole window runs as (B, C, T):
+# convs via lax.conv NCW dimension numbers, anti-aliased snake via the
+# time-in-lanes Pallas kernel. Numerics: same taps/order ⇒ allclose to the
+# reference-structured path (accumulation order inside XLA convs may differ).
+# ---------------------------------------------------------------------------
+
+def _conv1d_cm(p: Dict[str, Any], x: jnp.ndarray, *, dilation: int = 1,
+               padding=0) -> jnp.ndarray:
+    """1-D conv over (B, C, T); weights in the shared (K, Cin, Cout) layout."""
+    from jax import lax
+    if isinstance(padding, int):
+        padding = [(padding, padding)]
+    elif isinstance(padding, tuple):
+        padding = [padding]
+    y = lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (1,), padding, rhs_dilation=(dilation,),
+        dimension_numbers=("NCW", "WIO", "NCW"),
+        preferred_element_type=x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)[:, None]
+    return y
+
+
+def _conv_transpose1d_cm(p: Dict[str, Any], x: jnp.ndarray, *, stride: int,
+                         padding: int = 0) -> jnp.ndarray:
+    from jax import lax
+    k = p["w"].shape[0]
+    w = jnp.flip(p["w"], axis=0)            # (K, Cout, Cin)
+    w = jnp.transpose(w, (0, 2, 1))         # (K, Cin, Cout) = WIO
+    pad = k - 1 - padding
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1,), [(pad, pad)], lhs_dilation=(stride,),
+        dimension_numbers=("NCW", "WIO", "NCW"),
+        preferred_element_type=x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)[:, None]
+    return y
+
+
+def _act_cm(cfg: BigVGANConfig, p: Dict[str, Any], x: jnp.ndarray,
+            use_pallas: bool) -> jnp.ndarray:
+    from index_tts_dubbing_tpu.ops.alias_free import (
+        anti_aliased_activation_cmajor)
+    beta = p.get("beta") if cfg.activation == "snakebeta" else None
+    return anti_aliased_activation_cmajor(x, p["alpha"], beta,
+                                          cfg.snake_logscale, use_pallas)
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+def _vocode_window_cmajor(params: Dict[str, Any], cfg: BigVGANConfig,
+                          latent: jnp.ndarray, spk: jnp.ndarray,
+                          use_pallas: bool = True) -> jnp.ndarray:
+    """One window (B, W, gpt_dim) + speaker embedding → wav (B, W·1024),
+    computed entirely in the (B, C, T) layout."""
+    if spk.shape[0] == 1 and latent.shape[0] > 1:
+        spk = jnp.broadcast_to(spk, (latent.shape[0],) + spk.shape[1:])
+    x = jnp.swapaxes(latent, 1, 2)              # (B, gpt_dim, W) — small
+    spk_cm = jnp.swapaxes(spk, 1, 2)            # (B, 512, 1)
+    x = _conv1d_cm(params["conv_pre"], x, padding=3)
+    x = x + _conv1d_cm(params["cond_layer"], spk_cm)
+    for i in range(cfg.num_upsamples):
+        u = cfg.upsample_rates[i]
+        k = cfg.upsample_kernel_sizes[i]
+        x = _conv_transpose1d_cm(params["ups"][i], x, stride=u,
+                                 padding=(k - u) // 2)
+        if cfg.cond_in_each_up_layer:
+            x = x + _conv1d_cm(params["conds"][i], spk_cm)
+        xs = None
+        for j in range(cfg.num_kernels):
+            rb = params["resblocks"][i * cfg.num_kernels + j]
+            kk = cfg.resblock_kernel_sizes[j]
+            y = x
+            acts1, acts2 = rb["acts"][::2], rb["acts"][1::2]
+            for c1, c2, a1, a2, d in zip(rb["convs1"], rb["convs2"], acts1,
+                                         acts2, cfg.resblock_dilation_sizes[j]):
+                yt = _act_cm(cfg, a1, y, use_pallas)
+                yt = _conv1d_cm(c1, yt, dilation=d, padding=(kk * d - d) // 2)
+                yt = _act_cm(cfg, a2, yt, use_pallas)
+                yt = _conv1d_cm(c2, yt, padding=(kk - 1) // 2)
+                y = yt + y
+            xs = y if xs is None else xs + y
+        x = xs / cfg.num_kernels
+    x = _act_cm(cfg, params["act_post"], x, use_pallas)
+    x = _conv1d_cm(params["conv_post"], x, padding=3)
+    return jnp.tanh(x)[:, 0, :]
+
+
 @partial(jax.jit, static_argnames=())
 def speaker_embedding(params: Dict[str, Any], mel_ref: jnp.ndarray) -> jnp.ndarray:
     return ecapa.forward(params["speaker_encoder"], mel_ref)
@@ -210,12 +303,18 @@ class WindowedVocoder:
 
     def __init__(self, params: Dict[str, Any], cfg: BigVGANConfig,
                  window: int = 48, halo: int = DEFAULT_HALO,
-                 max_batch: int = 32, compute_dtype=None):
+                 max_batch: int = 32, compute_dtype=None,
+                 layout: str = "ref", use_pallas: bool = True):
         self.params = params
         self.cfg = cfg
         self.window = window
         self.halo = halo
         self.max_batch = max_batch
+        # "ref": reference-structured channels-last stages (parity default);
+        # "cmajor": time-minor stages + time-in-lanes Pallas anti-alias snake
+        # (the fast TPU path — see _vocode_window_cmajor).
+        self.layout = layout
+        self.use_pallas = use_pallas
         # bf16 compute matches the reference's fp16-autocast vocoder
         # (infer.py:613) and is ~8x MXU throughput vs fp32 on TPU; fp32 is
         # the parity/test default.
@@ -243,13 +342,17 @@ class WindowedVocoder:
         t = latent.shape[0]
         if spk is None:
             spk = self.speaker_embedding(jnp.asarray(mel_ref))
+        if self.layout == "cmajor":
+            vocode = partial(_vocode_window_cmajor, use_pallas=self.use_pallas)
+        else:
+            vocode = _vocode_window
         w, h, up = self.window, self.halo, self.upsample
         full = w + 2 * h
         if t <= full:
-            wav = np.asarray(_vocode_window(self.params, self.cfg,
-                                            jnp.asarray(latent[None],
-                                                        self.compute_dtype),
-                                            spk))[0].astype(np.float32)
+            wav = np.asarray(vocode(self.params, self.cfg,
+                                    jnp.asarray(latent[None],
+                                                self.compute_dtype),
+                                    spk))[0].astype(np.float32)
             return wav
         out = np.empty(t * up, np.float32)
         # collect aligned windows, then vocode them in batched calls
@@ -273,7 +376,7 @@ class WindowedVocoder:
             lat = np.empty((n, full, latent.shape[1]), np.float32)
             for i, (_, _, lo) in enumerate(chunk):
                 lat[i] = latent[lo: lo + full]
-            wavs = np.asarray(_vocode_window(
+            wavs = np.asarray(vocode(
                 self.params, self.cfg,
                 jnp.asarray(lat, self.compute_dtype), spk)).astype(np.float32)
             for i, (s, e, lo) in enumerate(chunk):

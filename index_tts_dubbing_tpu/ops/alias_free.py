@@ -149,3 +149,20 @@ def anti_aliased_activation(x: jnp.ndarray, alpha: jnp.ndarray,
     else:
         y = snake_beta(y, alpha, beta, logscale)
     return downsample2(y)
+
+
+def anti_aliased_activation_cmajor(x: jnp.ndarray, alpha: jnp.ndarray,
+                                   beta: jnp.ndarray | None, logscale: bool,
+                                   use_pallas: bool = True) -> jnp.ndarray:
+    """C-major variant: (B, C, T) → (B, C, T) with time in the minor dim.
+
+    The Pallas path (ops/pallas_snake.py:fused_anti_alias_snake_cmajor) puts
+    time in the vector lanes — full VPU utilisation at BigVGAN's late stages
+    where C = 24..96 ≪ 128 lanes. The XLA fallback transposes to the
+    row-major path (bit-identical to it; used on CPU and for diffing)."""
+    if use_pallas:
+        from index_tts_dubbing_tpu.ops.pallas_snake import (
+            fused_anti_alias_snake_cmajor)
+        return fused_anti_alias_snake_cmajor(x, alpha, beta, logscale)
+    y = anti_aliased_activation(jnp.swapaxes(x, 1, 2), alpha, beta, logscale)
+    return jnp.swapaxes(y, 1, 2)

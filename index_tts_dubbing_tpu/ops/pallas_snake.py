@@ -90,6 +90,124 @@ def _pick_channel_tile(c: int, tt: int, budget: int = 262144) -> int:
     return best
 
 
+# C-major halo: DMA slices along the minor (lane) dim must be 128-aligned in
+# offset AND length, so each (ct, tt) output tile fetches (ct, tt+128) input
+# anchored one half-tile (64) early — covering the true ±6-frame dependency
+# with aligned transfers.
+_HALO_CM = 64
+
+
+def _kernel_cmajor(xp_ref, a_ref, binv_ref, out_ref, xs, sem, *, tt: int,
+                   ct: int, up: np.ndarray, down: np.ndarray):
+    """Time-in-LANES variant: blocks are (channels=sublanes, time=lanes).
+
+    For BigVGAN's late stages (C = 24..96 ≪ 128) the channel-minor layout
+    wastes 5/6 of the vector lanes on every op; with time minor the FIR
+    shift-adds run at full lane utilisation. Same polyphase algebra as
+    ``_kernel`` with the two axes swapped."""
+    b = pl.program_id(0)
+    ci = pl.program_id(1)
+    ti = pl.program_id(2)
+    copy = pltpu.make_async_copy(
+        xp_ref.at[b, pl.ds(ci * ct, ct), pl.ds(ti * tt, tt + 2 * _HALO_CM)],
+        xs, sem)
+    copy.start()
+    copy.wait()
+    x = xs[:]                                   # (ct, tt+128)
+
+    n = tt + 6  # up-phase arrays cover u ∈ [-3, tt+3)
+    ue = jnp.zeros((ct, n), jnp.float32)
+    uo = jnp.zeros((ct, n), jnp.float32)
+    for d in range(6):
+        ue = ue + (2.0 * float(up[11 - 2 * d])) * x[:, _HALO_CM - 6 + d: _HALO_CM - 6 + d + n]
+        uo = uo + (2.0 * float(up[10 - 2 * d])) * x[:, _HALO_CM - 5 + d: _HALO_CM - 5 + d + n]
+
+    a = a_ref[:, 0][:, None]
+    binv = binv_ref[:, 0][:, None]
+
+    def snake(v):
+        s = jnp.sin(v * a)
+        return v + binv * s * s
+
+    ue = snake(ue)
+    uo = snake(uo)
+
+    y = jnp.zeros((ct, tt), jnp.float32)
+    for j in range(12):
+        m = j - 5                               # up index offset 2t + m
+        if (m % 2) == 0:
+            y = y + float(down[j]) * ue[:, 3 + m // 2: 3 + m // 2 + tt]
+        else:
+            y = y + float(down[j]) * uo[:, 3 + (m - 1) // 2: 3 + (m - 1) // 2 + tt]
+    out_ref[0, :, :] = y.astype(out_ref.dtype)
+
+
+def _pick_tile_cmajor(t: int, c: int) -> tuple:
+    """(ct, tt): tt = a multiple of 128 (input T is padded up to a multiple
+    of tt), ct = largest divisor of c keeping ~4 fp32 (ct, tt) buffers under
+    ~4 MB."""
+    tt = min(2048, -(-t // 128) * 128)
+    budget_elems = 262144  # per-buffer fp32 elements (~1 MB each, 4 buffers)
+    ct = 1
+    for cand in range(1, c + 1):
+        if c % cand == 0 and cand * (tt + 2 * _HALO_CM) <= budget_elems:
+            ct = cand
+    return ct, tt
+
+
+@functools.partial(jax.jit, static_argnames=("logscale",))
+def fused_anti_alias_snake_cmajor(x: jnp.ndarray, alpha: jnp.ndarray,
+                                  beta: Optional[jnp.ndarray],
+                                  logscale: bool) -> jnp.ndarray:
+    """(B, C, T) → (B, C, T), ≡ downsample2(snake[β](upsample2(x))) applied
+    along the minor (time) axis. Companion of ``fused_anti_alias_snake`` for
+    the C-major vocoder path (time in lanes → full VPU utilisation at the
+    late BigVGAN stages where C ≪ 128)."""
+    b, c, t = x.shape
+    if logscale:
+        a = jnp.exp(alpha)
+        bta = jnp.exp(beta) if beta is not None else None
+    else:
+        a = alpha
+        bta = beta
+    binv = (1.0 / (bta.astype(jnp.float32) + 1e-9) if bta is not None
+            else 1.0 / (a.astype(jnp.float32) + 1e-9))
+    a = a.astype(jnp.float32).reshape(c, 1)
+    binv = binv.reshape(c, 1)
+
+    ct, tt = _pick_tile_cmajor(t, c)
+    t_pad = -(-t // tt) * tt
+    # [64-frame replicate | x (replicate-padded to t_pad) | 64-frame pad]:
+    # block ti DMAs the aligned slice [ti·tt, ti·tt + tt + 128), which covers
+    # its true ±6-frame dependency span.
+    xp = jnp.concatenate(
+        [jnp.repeat(x[:, :, :1], _HALO_CM, axis=2), x,
+         jnp.repeat(x[:, :, -1:], _HALO_CM + (t_pad - t), axis=2)],
+        axis=2).astype(jnp.float32)
+
+    kernel = functools.partial(_kernel_cmajor, tt=tt, ct=ct,
+                               up=UP_FILTER, down=DOWN_FILTER)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, c, t_pad), x.dtype),
+        grid=(b, c // ct, t_pad // tt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((ct, 1), lambda bi, ci, ti: (ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, 1), lambda bi, ci, ti: (ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ct, tt), lambda bi, ci, ti: (bi, ci, ti),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ct, tt + 2 * _HALO_CM), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(xp, a, binv)
+    return out[:, :, :t] if t_pad != t else out
+
+
 @functools.partial(jax.jit, static_argnames=("logscale",))
 def fused_anti_alias_snake(x: jnp.ndarray, alpha: jnp.ndarray,
                            beta: Optional[jnp.ndarray],
