@@ -332,7 +332,10 @@ class IndexTTS:
             top_k=kw.pop("top_k", 30),
             temperature=kw.pop("temperature", 1.0),
             repetition_penalty=kw.pop("repetition_penalty", 10.0),
-            max_mel_tokens=kw.pop("max_mel_tokens", 600),
+            # clamped to the model's positional budget (the reference's 600
+            # default assumes the production 605-slot model, infer.py:334)
+            max_mel_tokens=min(kw.pop("max_mel_tokens", 600),
+                               self.gpt_cfg.max_mel_tokens),
             typical_sampling=kw.pop("typical_sampling", False),
             typical_mass=kw.pop("typical_mass", 0.9),
         )

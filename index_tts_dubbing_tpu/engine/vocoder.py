@@ -304,16 +304,25 @@ class WindowedVocoder:
     def __init__(self, params: Dict[str, Any], cfg: BigVGANConfig,
                  window: int = 48, halo: int = DEFAULT_HALO,
                  max_batch: int = 32, compute_dtype=None,
-                 layout: str = "ref", use_pallas: bool = True):
+                 layout: Optional[str] = None,
+                 use_pallas: Optional[bool] = None):
         self.params = params
         self.cfg = cfg
         self.window = window
         self.halo = halo
         self.max_batch = max_batch
-        # "ref": reference-structured channels-last stages (parity default);
+        # "ref": reference-structured channels-last stages (bit-exact
+        # windowing; parity/CPU default);
         # "cmajor": time-minor stages + time-in-lanes Pallas anti-alias snake
-        # (the fast TPU path — see _vocode_window_cmajor).
+        # (the fast TPU path — see _vocode_window_cmajor). Measured on the
+        # chip it is the difference between vocoder RTF 0.075 and < 0.02
+        # (BENCH_r01 → r02), so it is the default whenever we run on TPU.
+        if layout is None:
+            layout = "cmajor" if jax.default_backend() == "tpu" else "ref"
         self.layout = layout
+        # the Pallas kernel is TPU-only; the cmajor XLA fallback runs anywhere
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         # bf16 compute matches the reference's fp16-autocast vocoder
         # (infer.py:613) and is ~8x MXU throughput vs fp32 on TPU; fp32 is
@@ -326,8 +335,14 @@ class WindowedVocoder:
 
     def __call__(self, latent: np.ndarray, mel_ref: Optional[np.ndarray] = None,
                  spk: Optional[jnp.ndarray] = None) -> np.ndarray:
-        """latent (T, C) or (1, T, C); returns wav (T·1024,) float32,
-        bit-equal to the full-sequence forward.
+        """latent (T, C) or (1, T, C); returns wav (T·1024,) float32.
+
+        With layout='ref' the result is bit-equal to the full-sequence
+        forward. With layout='cmajor' the interior is exact but the Pallas
+        kernel approximates the reference's boundary replication within ~6
+        stage frames of the *true sequence boundaries* (up to ~0.02 abs —
+        see ops/pallas_snake.py edge semantics); window edges are still
+        cropped by the halo either way.
 
         Windows are *aligned* (clamped inside [0, T]) rather than padded, so
         a window edge is either the true sequence boundary (where the

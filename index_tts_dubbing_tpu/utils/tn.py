@@ -20,8 +20,15 @@ ZH_GROUPS = ["", "万", "亿", "万亿"]
 
 
 def zh_digits(s: str) -> str:
-    """Digit-by-digit reading (phone numbers, years). '203'→'二零三'."""
+    """Digit-by-digit reading (years). '203'→'二零三'."""
     return "".join(ZH_DIGITS[int(c)] if c.isdigit() else c for c in s)
+
+
+def zh_digits_phone(s: str) -> str:
+    """Telephone reading: 1 is read 幺 (WeTextProcessing convention).
+    '135'→'幺三五'."""
+    return "".join(("幺" if c == "1" else ZH_DIGITS[int(c)])
+                   if c.isdigit() else c for c in s)
 
 
 def _zh_int_group(n: int) -> str:
@@ -142,6 +149,29 @@ def en_year(n: int) -> str:
     return en_int(n)
 
 
+_EN_ORD_IRREG = {1: "first", 2: "second", 3: "third", 5: "fifth", 8: "eighth",
+                 9: "ninth", 12: "twelfth"}
+
+
+def en_ordinal(n: int) -> str:
+    """1 → 'first', 21 → 'twenty first', 30 → 'thirtieth'."""
+    if n in _EN_ORD_IRREG:
+        return _EN_ORD_IRREG[n]
+    if n < 20:
+        return EN_ONES[n] + "th"
+    if n < 100:
+        t, r = divmod(n, 10)
+        if r == 0:
+            return EN_TENS[t][:-1] + "ieth"
+        return EN_TENS[t] + " " + en_ordinal(r)
+    words = en_int(n).split()
+    head, last = words[:-1], int(n % 100)
+    if last and last < 100:
+        base = en_int(n - last)
+        return base + " " + en_ordinal(last)
+    return " ".join(words) + "th"  # hundredth/thousandth/...
+
+
 # ---------------------------------------------------------------------------
 # Rule pipelines
 # ---------------------------------------------------------------------------
@@ -149,55 +179,131 @@ def en_year(n: int) -> str:
 _NUM = r"\d+(?:\.\d+)?"
 
 
-class ZhNormalizer:
-    """Chinese text normalizer: NSW → speakable Chinese."""
+# erhua whitelist: 儿 after these characters is rhotacisation, not the noun
+# 儿 "child" (subset of WeTextProcessing's erhua list — the common cases).
+_ERHUA_PRE = "玩花活事哪这那味头园盘片歌词曲画座们脸鸟劲门亮点面一会半伙孩娃"
+_INTERJECTIONS = "嗯呃啊唉哎哦噢喔呀嘛吧呗啦咯哟"
 
-    def __init__(self, remove_erhua: bool = False, remove_interjections: bool = False):
+
+class ZhNormalizer:
+    """Chinese text normalizer: NSW → speakable Chinese.
+
+    Rule depth targets the reference's executable spec
+    (/root/reference/indextts/utils/front.py:437-483): dates (incl. y/m/d and
+    y-m-d range forms), clock times, telephone numbers (1→幺), money,
+    percents, fractions, ordinals, measure-word units, +-suffixed counts,
+    number ranges, temperatures, and bare cardinals; optional 儿化 and
+    interjection removal mirror WeTextProcessing's constructor flags."""
+
+    def __init__(self, remove_erhua: bool = False,
+                 remove_interjections: bool = False):
+        self.remove_erhua = remove_erhua
+        self.remove_interjections = remove_interjections
         n = _NUM
+
+        def rng(m):  # N到M, both plain readings
+            return zh_number(m.group(1)) + "到" + zh_number(m.group(2))
+
         self.rules: List[Tuple[re.Pattern, Callable[[re.Match], str]]] = [
-            # dates
-            (re.compile(r"(\d{4})[/\-年](\d{1,2})[/\-月](\d{1,2})日?"),
-             lambda m: f"{zh_digits(m.group(1))}年{zh_int(int(m.group(2)))}月{zh_int(int(m.group(3)))}日"),
-            (re.compile(r"(\d{4})\s*年"), lambda m: zh_digits(m.group(1)) + "年"),
-            (re.compile(r"(\d{1,2})\s*月(\d{1,2})\s*日"),
+            # dates: 2030/1/2, 2023-04-05, 2025年01月11日
+            (re.compile(r"(\d{4})\s*[/\-年]\s*(\d{1,2})\s*[/\-月]\s*(\d{1,2})\s*日?"),
+             lambda m: f"{zh_digits(m.group(1))}年{zh_int(int(m.group(2)))}月"
+                       f"{zh_int(int(m.group(3)))}日"),
+            (re.compile(r"(\d{2,4})\s*年"),
+             lambda m: zh_digits(m.group(1)) + "年"),
+            (re.compile(r"(\d{1,2})\s*月(\d{1,2})\s*[日号]"),
              lambda m: f"{zh_int(int(m.group(1)))}月{zh_int(int(m.group(2)))}日"),
             # time HH:MM(:SS)
             (re.compile(r"(\d{1,2}):(\d{2}):(\d{2})"),
-             lambda m: f"{zh_int(int(m.group(1)))}点{zh_int(int(m.group(2)))}分{zh_int(int(m.group(3)))}秒"),
-            (re.compile(r"(\d{1,2}):(\d{2})"),
+             lambda m: f"{zh_int(int(m.group(1)))}点{zh_int(int(m.group(2)))}分"
+                       f"{zh_int(int(m.group(3)))}秒"),
+            (re.compile(r"(\d{1,2}):(\d{2})(?!\d)"),
              lambda m: f"{zh_int(int(m.group(1)))}点"
              + ("" if int(m.group(2)) == 0 else
                 ("零" + zh_int(int(m.group(2))) if int(m.group(2)) < 10
                  else zh_int(int(m.group(2)))) + "分")),
-            # phone-like digit runs with separators
-            (re.compile(r"\d{3,}(?:-\d{3,})+"),
-             lambda m: zh_digits(m.group(0).replace("-", ""))),
+            # telephone: separator-joined or bare 11-digit mobile / 3-4+7-8
+            (re.compile(r"\d{3,}(?:[-\s]\d{3,})+"),
+             lambda m: zh_digits_phone(re.sub(r"[-\s]", "", m.group(0)))),
+            (re.compile(r"(?<!\d)1[3-9]\d{9}(?!\d)"),
+             lambda m: zh_digits_phone(m.group(0))),
             # money
             (re.compile(rf"[¥￥]\s*({n})"), lambda m: zh_number(m.group(1)) + "元"),
             (re.compile(rf"\$\s*({n})"), lambda m: zh_number(m.group(1)) + "美元"),
-            # percent / ranges / units
+            (re.compile(rf"({n})\s*[元块]"),
+             lambda m: zh_number(m.group(1)) + m.group(0)[-1]),
+            # percent / permille
             (re.compile(rf"({n})\s*%"), lambda m: "百分之" + zh_number(m.group(1))),
+            (re.compile(rf"({n})\s*‰"), lambda m: "千分之" + zh_number(m.group(1))),
+            # temperature
+            (re.compile(rf"(-?{n})\s*(?:°C|℃)"),
+             lambda m: zh_number(m.group(1)) + "摄氏度"),
+            # units (longest suffix first)
             (re.compile(rf"({n})\s*km/h"), lambda m: zh_number(m.group(1)) + "千米每小时"),
+            (re.compile(rf"({n})\s*m/s"), lambda m: zh_number(m.group(1)) + "米每秒"),
+            (re.compile(rf"({n})\s*(?:km²|km2)"), lambda m: zh_number(m.group(1)) + "平方千米"),
+            (re.compile(rf"({n})\s*(?:m²|m2)(?![a-z])"), lambda m: zh_number(m.group(1)) + "平方米"),
             (re.compile(rf"({n})\s*kg"), lambda m: zh_number(m.group(1)) + "千克"),
             (re.compile(rf"({n})\s*km"), lambda m: zh_number(m.group(1)) + "千米"),
-            (re.compile(rf"({n})[~\-—]({n})"),
-             lambda m: zh_number(m.group(1)) + "到" + zh_number(m.group(2))),
+            (re.compile(rf"({n})\s*cm"), lambda m: zh_number(m.group(1)) + "厘米"),
+            (re.compile(rf"({n})\s*mm"), lambda m: zh_number(m.group(1)) + "毫米"),
+            (re.compile(rf"({n})\s*ml"), lambda m: zh_number(m.group(1)) + "毫升"),
+            # score 比分 (X比Y) only between whitespace-free CJK context is
+            # ambiguous with time; times were consumed above.
+            # fraction a/b → b分之a (after dates & unit slashes)
+            (re.compile(r"(?<![\d/.])(\d+)/(\d+)(?![\d/.])"),
+             lambda m: zh_int(int(m.group(2))) + "分之" + zh_int(int(m.group(1)))),
+            # ranges 3~5 / 3-5 (phones already consumed)
+            (re.compile(rf"({n})\s*[~～\-—]\s*({n})"), rng),
+            # "3000+" → 三千多
             (re.compile(rf"({n})\s*\+"), lambda m: zh_number(m.group(1)) + "多"),
-            # bare numbers
+            # ordinals ride the bare-number rule (第3 → 第三)
             (re.compile(n), lambda m: zh_number(m.group(0))),
         ]
 
     def normalize(self, text: str) -> str:
         for pat, fn in self.rules:
             text = pat.sub(fn, text)
+        if self.remove_interjections:
+            text = re.sub(f"[{_INTERJECTIONS}]", "", text)
+        if self.remove_erhua:
+            text = re.sub(f"(?<=[{_ERHUA_PRE}])儿", "", text)
         return text
 
 
+_FRACTION_DENOM = {2: ("half", "halves"), 3: ("third", "thirds"),
+                   4: ("quarter", "quarters")}
+
+
+def en_fraction(a: int, b: int) -> str:
+    if b in _FRACTION_DENOM:
+        one, many = _FRACTION_DENOM[b]
+    else:
+        one = en_ordinal(b)
+        many = one + "s"
+    return en_int(a) + " " + (one if a == 1 else many)
+
+
 class EnNormalizer:
-    """English text normalizer: NSW → speakable English."""
+    """English text normalizer: NSW → speakable English.
+
+    Covers the reference corpus' English cases
+    (/root/reference/indextts/utils/front.py:437-483): clock times, money,
+    percents, years, ordinals (1st/2nd/...), fractions, phone-style digit
+    runs, and bare cardinals. Spelled-out numbers are space-padded when glued
+    to letters ('beta2' → 'beta two')."""
 
     def __init__(self):
         n = _NUM
+
+        def pad(m, txt):
+            """Insert spaces when the match butts against letters."""
+            s, e = m.start(), m.end()
+            text = m.string
+            lo = " " if s > 0 and text[s - 1].isalpha() else ""
+            hi = " " if e < len(text) and text[e].isalpha() else ""
+            return lo + txt + hi
+
         self.rules: List[Tuple[re.Pattern, Callable[[re.Match], str]]] = [
             # time
             (re.compile(r"(\d{1,2}):00\s*(AM|PM|am|pm)?"),
@@ -206,16 +312,25 @@ class EnNormalizer:
             (re.compile(r"(\d{1,2}):(\d{2})\s*(AM|PM|am|pm)?"),
              lambda m: en_int(int(m.group(1))) + " " + en_int(int(m.group(2)))
              + (f" {' '.join(m.group(3).upper())}" if m.group(3) else "")),
+            # phone-style digit runs
+            (re.compile(r"\d{3,}(?:-\d{3,})+"),
+             lambda m: en_digits(re.sub(r"-", "", m.group(0)))),
             # money
             (re.compile(rf"\$\s*({n})"),
              lambda m: en_number(m.group(1)) + " dollars"
              if m.group(1) not in ("1", "1.0") else "one dollar"),
             (re.compile(rf"({n})\s*%"), lambda m: en_number(m.group(1)) + " percent"),
+            # ordinals
+            (re.compile(r"\b(\d+)\s*(st|nd|rd|th)\b", re.IGNORECASE),
+             lambda m: en_ordinal(int(m.group(1)))),
+            # fractions (not dates/units)
+            (re.compile(r"(?<![\d/.])(\d+)/(\d+)(?![\d/.])"),
+             lambda m: en_fraction(int(m.group(1)), int(m.group(2)))),
             # years
             (re.compile(r"\b(1[0-9]{3}|20[0-9]{2})\b"),
              lambda m: en_year(int(m.group(0)))),
-            # bare numbers
-            (re.compile(n), lambda m: en_number(m.group(0))),
+            # bare numbers (space-padded against letters: beta2 → beta two)
+            (re.compile(n), lambda m: pad(m, en_number(m.group(0)))),
         ]
 
     def normalize(self, text: str) -> str:

@@ -2,6 +2,7 @@
 BPE, sentence splitting — executable versions of the reference's self-test
 cases (front.py:432-537)."""
 import numpy as np
+import re
 import pytest
 
 from index_tts_dubbing_tpu.utils.front import (
@@ -141,3 +142,123 @@ def test_split_sentences_spec():
     sents = t.split_sentences_by_token(toks, ["."], 6)
     assert all(len(s) <= 6 for s in sents)
     assert "".join("".join(s) for s in sents) == "aaaa,bbbb,cccc"
+
+
+# ---------------------------------------------------------------------------
+# Reference normalizer corpus (/root/reference/indextts/utils/front.py:437-483
+# __main__ self-test inputs) as an executable spec: every case must normalize
+# without crashing and leave no unread ASCII digits behind (pinyin tone
+# digits like XUAN4 are deliberately preserved placeholders).
+# ---------------------------------------------------------------------------
+
+REFERENCE_CASES = [
+    "IndexTTS 正式发布1.0版本了，效果666",
+    "晕XUAN4是一种GAN3觉",
+    "我爱你！",
+    "I love you!",
+    "“我爱你”的英语是“I love you”",
+    "2.5平方电线",
+    "共465篇，约315万字",
+    "2002年的第一场雪，下在了2003年",
+    "速度是10km/h",
+    "现在是北京时间2025年01月11日 20:00",
+    "他这条裤子是2012年买的，花了200块钱",
+    "电话：135-4567-8900",
+    "1键3连",
+    "他这条视频点赞3000+，评论1000+，收藏500+",
+    "这是1024元的手机，你要吗？",
+    "受不liao3你了",
+    "“衣裳”不读衣chang2，而是读衣shang5",
+    "最zhong4要的是：不要chong2蹈覆辙",
+    "不zuo1死就不会死",
+    "See you at 8:00 AM",
+    "8:00 AM 开会",
+    "Couting down 3, 2, 1, go!",
+    "数到3就开始：1、2、3",
+    "This sales for 2.5% off, only $12.5.",
+    "5G网络是4G网络的升级版，2G网络是3G网络的前身",
+    "苹果于2030/1/2发布新 iPhone 2X 系列手机，最低售价仅 ¥12999",
+    "这酒...里...有毒...",
+    "只有,,,才是最好的",
+    "babala2是什么？",
+    "用beta1测试",
+    "have you ever been to beta2?",
+    "such as XTTS, CosyVoice2, Fish-Speech, and F5-TTS",
+    "where's the money?",
+    "who's there?",
+    "which's the best?",
+    "how's it going?",
+    "今天是个好日子 it's a good day",
+    "约瑟夫·高登-莱维特（Joseph Gordon-Levitt is an American actor）",
+    "蒂莫西·唐纳德·库克（英文名：Timothy Donald Cook），通称蒂姆·库克（Tim Cook），美国商业经理、工业工程师和工业开发商，现任苹果公司首席执行官。",
+]
+
+
+@pytest.mark.parametrize("case", REFERENCE_CASES)
+def test_reference_corpus_normalizes(norm, case):
+    out = norm.normalize(case)
+    assert out
+    # strip preserved pinyin-tone placeholders, then require no digits left
+    residue = re.sub(TextNormalizer.PINYIN_TONE_PATTERN, "", out,
+                     flags=re.IGNORECASE)
+    assert not re.search(r"\d", residue), f"{case!r} -> {out!r}"
+
+
+def test_normalizer_golden_zh(norm):
+    golden = {
+        "2.5平方电线": "二点五平方电线",
+        "共465篇，约315万字": "共四百六十五篇,约三百一十五万字",
+        "速度是10km/h": "速度是十千米每小时",
+        "电话：135-4567-8900": "电话,幺三五四五六七八九零零",
+        "他这条视频点赞3000+": "他这条视频点赞三千多",
+        "这是1024元的手机，你要吗？": "这是一千零二十四元的手机,你要吗?",
+        "1键3连": "一键三连",
+        "现在是北京时间2025年01月11日 20:00":
+            "现在是北京时间二零二五年一月十一日 二十点",
+        "苹果于2030/1/2发布": "苹果于二零三零年一月二日发布",
+        "会议定在2023-04-05": "会议定在二零二三年四月五日",
+        "中了1/3的概率": "中了三分之一的概率",
+        "第3名": "第三名",
+        "气温37°C": "气温三十七摄氏度",
+        "涨了5%": "涨了百分之五",
+        "3~5天": "三到五天",
+    }
+    for src, want in golden.items():
+        assert norm.normalize(src) == want, (src, norm.normalize(src))
+
+
+def test_normalizer_golden_en(norm):
+    golden = {
+        "See you at 8:00 AM": "See you at eight o'clock A M",
+        "This sales for 2.5% off, only $12.5.":
+            "This sales for two point five percent off, only twelve point five dollars.",
+        "have you ever been to beta2?": "have you ever been to beta two?",
+        "the 1st and the 22nd": "the first and the twenty second",
+        "cut it in 1/3": "cut it in one third",
+        "call 135-4567-8900": "call one three five four five six seven eight nine zero zero",
+        "in 1999": "in nineteen ninety nine",
+        "in 2002": "in twenty oh two",
+    }
+    for src, want in golden.items():
+        assert norm.normalize(src) == want, (src, norm.normalize(src))
+
+
+def test_normalizer_flags():
+    from index_tts_dubbing_tpu.utils import tn
+    z = tn.ZhNormalizer(remove_erhua=True, remove_interjections=True)
+    assert "儿" not in z.normalize("好玩儿")
+    assert z.normalize("嗯这个嘛") == "这个"
+    # 儿 kept when not erhua
+    assert "儿" in z.normalize("儿童节")
+
+
+def test_en_ordinals_fractions():
+    from index_tts_dubbing_tpu.utils import tn
+    assert tn.en_ordinal(1) == "first"
+    assert tn.en_ordinal(12) == "twelfth"
+    assert tn.en_ordinal(20) == "twentieth"
+    assert tn.en_ordinal(21) == "twenty first"
+    assert tn.en_ordinal(100) == "one hundredth"
+    assert tn.en_fraction(1, 2) == "one half"
+    assert tn.en_fraction(3, 4) == "three quarters"
+    assert tn.en_fraction(2, 5) == "two fifths"

@@ -14,7 +14,8 @@ from index_tts_dubbing_tpu.utils import jax_setup
 
 jax_setup.setup_jax()
 
-NB = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+_nums = [a for a in sys.argv[1:] if a.isdigit()]
+NB = int(_nums[0]) if _nums else 16
 DTYPE = jnp.float32 if "--fp32" in sys.argv else jnp.bfloat16
 
 cfg = EngineConfig().bigvgan
