@@ -59,18 +59,30 @@ class IndexTTSEngine(BaseTTSEngine):
                 for sr, wav in outs]
 
     def synthesize_to_duration(self, text: str, target_duration: float,
+                               n_candidates: int = 4, tolerance: float = 0.1,
                                **kwargs) -> Tuple[np.ndarray, int]:
+        """Duration-targeted synthesis WITHOUT truncation.
+
+        The reference bisects HF ``length_penalty`` with up to 5 sequential
+        full re-syntheses (index_tts_engine.py:70-107). Here the re-tries are
+        a single BATCHED decode (SURVEY §7 step 8b): ``n_candidates`` rows of
+        the same text sampled independently in one TPU batch (per-row RNG in
+        the batched decode ⇒ distinct complete utterances), plus the natural
+        first attempt; the candidate whose duration is nearest the target
+        wins. Every candidate runs to its own stop token — no mid-sentence
+        ``max_mel_tokens`` cut."""
         log = get_logger()
         audio, sr = self.synthesize(text, **kwargs)
         dur = len(audio) / sr
-        if dur <= target_duration + 0.1:
+        if abs(dur - target_duration) <= tolerance or n_candidates <= 1:
             return audio, sr
-        # overshoot: cap the mel-token budget to the target duration
-        compression = self.tts.gpt_cfg.mel_length_compression
-        budget = max(8, int(target_duration * self.tts.cfg.mel.sample_rate
-                            / compression))
-        log.debug(f"duration overshoot ({dur:.2f}s > {target_duration:.2f}s); "
-                  f"re-synthesising with mel budget {budget}")
-        kw = dict(kwargs)
-        kw["max_mel_tokens"] = budget
-        return self.synthesize(text, **kw)
+        log.debug(f"duration miss ({dur:.2f}s vs {target_duration:.2f}s); "
+                  f"sampling {n_candidates} batched candidates")
+        cands = [(audio, sr)]
+        cands += self.synthesize_batch([text] * n_candidates, **kwargs)
+        best = min(cands,
+                   key=lambda c: abs(len(c[0]) / c[1] - target_duration))
+        best_dur = len(best[0]) / best[1]
+        log.debug(f"picked candidate at {best_dur:.2f}s "
+                  f"(target {target_duration:.2f}s)")
+        return best

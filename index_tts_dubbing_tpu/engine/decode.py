@@ -272,31 +272,78 @@ def generate(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
 
 
 # ---------------------------------------------------------------------------
-# Beam search
-# ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg", "sc", "num_beams"))
-def generate_beam(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
-                  prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
-                  num_beams: int = 3,
-                  length_penalty: float = 0.0) -> GenerateResult:
-    """Deterministic beam search over mel codes (the reference's quality knob:
-    `num_beams=3` default at infer.py:332). HF beam semantics: repetition
-    penalty applied to log-softmax scores, cumulative log-prob ranking, final
-    hypothesis score = sum_logprobs / len**length_penalty (len counted over
-    generated tokens incl. the stop token). Returns the best beam per row.
-    """
+# ---------------------------------------------------------------------------
+# Beam search / beam sampling (transformers-4.36 semantics)
+# ---------------------------------------------------------------------------
+#
+# The reference decodes with HF `generate` at num_beams=3 (infer.py:332) —
+# with do_sample=True that is *beam sampling* (GenerationMixin.beam_sample),
+# with do_sample=False plain beam search. The two share one machinery here:
+#
+#   per-beam log-softmax → repetition penalty (logits processor, on scores)
+#   [+ beam scores] → [warpers: temperature → top-k → top-p, min_keep=2 —
+#   beam_sample only] → select 2·nb candidates over the (nb·V) flat scores
+#   (beam_sample: multinomial WITHOUT replacement == Gumbel top-k;
+#   beam_search: deterministic top-k == zero noise) → sort by score desc →
+#   BeamSearchScorer.process: eos candidates ranked < nb join the finished
+#   pool (BeamHypotheses.add: keep best nb by sum_logprobs/generated_len**lp,
+#   generated_len INCLUDING the eos); non-eos candidates fill the nb beam
+#   slots in rank order; finished batches emit pads at score 0 →
+#   is_done(early_stopping=False): pool full and worst pooled ≥ best
+#   attainable → finalize: open beams join the pool at generated_len =
+#   max_steps; best hypothesis per row returned.
+#
+# Step-0 beam-score init: beam_search masks beams 1.. with -1e9 (dedup);
+# beam_sample keeps all zeros (HF samples over nb identical copies — quirk
+# preserved).
+
+
+def _warp_scores(scores: jnp.ndarray, sc: SamplingConfig,
+                 min_tokens_to_keep: int = 2) -> jnp.ndarray:
+    """HF logits-warper chain on *combined* scores (logp + beam_scores):
+    temperature → top-k → top-p, each with min_tokens_to_keep=2 for beams.
+    Matches transformers-4.36 beam_sample, where the warpers run AFTER the
+    beam scores are added — including the temperature division, whose
+    compounding into the accumulated beam score is an HF quirk we keep."""
+    if sc.temperature != 1.0:
+        scores = scores / sc.temperature
+    v = scores.shape[-1]
+    k = min(max(sc.top_k, min_tokens_to_keep), v) if sc.top_k > 0 else v
+    if sc.top_k > 0 and k < v:
+        topv, _ = jax.lax.top_k(scores, k)
+        scores = jnp.where(scores < topv[..., -1:], -jnp.inf, scores)
+    else:
+        topv = jnp.sort(scores, axis=-1)[..., ::-1]
+    if sc.top_p < 1.0:
+        probs = jax.nn.softmax(topv, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) <= sc.top_p
+        keep = keep.at[..., :min_tokens_to_keep].set(True)
+        kth = jnp.sum(keep, axis=-1) - 1
+        cutoff = jnp.take_along_axis(topv, kth[..., None], axis=-1)
+        scores = jnp.where(scores < cutoff, -jnp.inf, scores)
+    return scores
+
+
+@partial(jax.jit, static_argnames=("cfg", "sc", "num_beams", "stochastic"))
+def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
+                 prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
+                 rng: jax.Array, num_beams: int, length_penalty: float,
+                 stochastic: bool) -> GenerateResult:
     b, s0, c = prefix_emb.shape
     nb = num_beams
     bn = b * nb
+    n_cand = 2 * nb
     max_steps = sc.max_mel_tokens
     s_total = s0 + max_steps
     vocab = cfg.number_mel_codes
     NEG = jnp.float32(-1e9)
+    lp = jnp.float32(length_penalty)
 
     cache = gpt_model.init_cache(cfg, b, s_total, dtype=prefix_emb.dtype)
-    h, cache = gpt_model.trunk_prefill(params, cfg, prefix_emb, pad_keep, cache)
-    # expand cache and masks to beams
+    h, cache = gpt_model.trunk_prefill(params, cfg, prefix_emb, pad_keep,
+                                       cache)
     cache = gpt_model.KVCache(jnp.repeat(cache.k, nb, axis=1),
                               jnp.repeat(cache.v, nb, axis=1))
     pad_keep_n = jnp.repeat(pad_keep, nb, axis=0)
@@ -307,82 +354,184 @@ def generate_beam(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     seen0 = seen0.at[:, sc.fake_prefix_id].set(True)
     seen0 = seen0.at[:, cfg.start_mel_token].set(True)
 
-    def scored_logp(h_, seen):
-        logits = gpt_model.mel_logits_from_hidden(params, h_).astype(jnp.float32)
+    def penalised_logp(h_, seen):
+        logits = gpt_model.mel_logits_from_hidden(params, h_).astype(
+            jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         if sc.repetition_penalty != 1.0:
             pen = jnp.where(logp > 0, logp / sc.repetition_penalty,
                             logp * sc.repetition_penalty)
             logp = jnp.where(seen, pen, logp)
+        if sc.typical_sampling:
+            # reference appends TypicalLogitsWarper as a logits_processor
+            # (model.py:692-696) → runs before beam scores are added
+            logp = _typical_filter(logp, sc.typical_mass,
+                                   min_tokens_to_keep=2)
         return logp
 
-    # first step: per-row top-nb
-    logp0 = scored_logp(h, seen0[::nb])                  # (B, V)
-    top0, tok0 = jax.lax.top_k(logp0, nb)                # (B, nb)
-    beam_scores0 = top0.reshape(bn)
-    prev0 = tok0.reshape(bn).astype(jnp.int32)
+    def select_candidates(logp, beam_scores, key):
+        """One step's candidate draw: warp (beam_sample), select 2nb over
+        the flat (nb·V) scores, sort by score desc. Returns
+        (cand_scores, src_beam, tok, best_next) with (b, n_cand) shapes."""
+        scores = logp + beam_scores[:, None]
+        if stochastic:
+            scores = _warp_scores(scores, sc)
+        flat = scores.reshape(b, nb * vocab)
+        if stochastic:
+            gumbel = jax.random.gumbel(key, flat.shape, jnp.float32)
+            z = jnp.where(jnp.isneginf(flat), -jnp.inf, flat + gumbel)
+        else:
+            z = flat
+        _, idx = jax.lax.top_k(z, n_cand)                 # (b, n_cand)
+        cand = jnp.take_along_axis(flat, idx, axis=1)
+        order = jnp.argsort(-cand, axis=1)
+        cand = jnp.take_along_axis(cand, order, axis=1)
+        idx = jnp.take_along_axis(idx, order, axis=1)
+        best_next = jnp.max(flat, axis=1)
+        return cand, idx // vocab, (idx % vocab).astype(jnp.int32), best_next
+
+    def process(cand, src_beam, tok, best_next, j, tokens, cache, seen,
+                pool_norm, pool_tok, pool_len, done):
+        """BeamSearchScorer.process + BeamHypotheses pool. j = tokens
+        generated before this step; eos hypotheses have generated_len j+1
+        (eos counted, HF 4.36 `generated_len = cur_len - decoder_prompt_len`
+        with cur_len = input_ids.shape[-1] + 1)."""
+        gen_len = jnp.float32(j + 1)
+        is_eos = tok == cfg.stop_mel_token
+        rank = jnp.arange(n_cand)[None, :]
+        # --- finished-hypothesis pool: eos candidates ranked < nb
+        eos_cand = is_eos & (rank < nb) & (~done[:, None])
+        cand_norm = jnp.where(eos_cand,
+                              cand / jnp.power(gen_len, lp), -jnp.inf)
+        flat_src = (jnp.arange(b)[:, None] * nb + src_beam)     # (b, n_cand)
+        cand_tok_rows = tokens[flat_src]                        # (b,n_cand,S)
+        all_norm = jnp.concatenate([pool_norm, cand_norm], axis=1)
+        all_len = jnp.concatenate(
+            [pool_len, jnp.broadcast_to(jnp.int32(j), (b, n_cand))], axis=1)
+        all_tok = jnp.concatenate([pool_tok, cand_tok_rows], axis=1)
+        top_norm, top_i = jax.lax.top_k(all_norm, nb)
+        pool_norm = top_norm
+        pool_len = jnp.take_along_axis(all_len, top_i, axis=1)
+        pool_tok = jnp.take_along_axis(all_tok, top_i[..., None], axis=1)
+        # --- live beams: first nb non-eos candidates in rank order
+        slot = jnp.cumsum(~is_eos, axis=1) - 1                  # (b, n_cand)
+        pick = jnp.argmax(
+            (slot[:, None, :] == jnp.arange(nb)[None, :, None])
+            & (~is_eos)[:, None, :], axis=2)                    # (b, nb)
+        new_scores = jnp.take_along_axis(cand, pick, axis=1)
+        new_tok = jnp.take_along_axis(tok, pick, axis=1)
+        new_src = jnp.take_along_axis(src_beam, pick, axis=1)
+        # finished batches: freeze (emit pad at score 0, keep state)
+        new_scores = jnp.where(done[:, None], 0.0, new_scores).reshape(bn)
+        new_tok = jnp.where(done[:, None], cfg.stop_mel_token,
+                            new_tok).reshape(bn)
+        keep_self = jnp.broadcast_to(jnp.arange(nb)[None, :], (b, nb))
+        new_src = jnp.where(done[:, None], keep_self, new_src)
+        flat_new_src = (jnp.arange(b)[:, None] * nb + new_src).reshape(bn)
+        tokens = jnp.take(tokens, flat_new_src, axis=0)
+        seen = jnp.take(seen, flat_new_src, axis=0)
+        cache = gpt_model.KVCache(jnp.take(cache.k, flat_new_src, axis=1),
+                                  jnp.take(cache.v, flat_new_src, axis=1))
+        tokens = jnp.where(done[jnp.arange(bn) // nb, None], tokens,
+                           tokens.at[:, j].set(new_tok))
+        seen = seen.at[jnp.arange(bn), new_tok].set(True)
+        # --- is_done (early_stopping=False): pool full AND no open beam can
+        # still beat the worst pooled hypothesis
+        pool_full = jnp.sum(pool_norm > -jnp.inf, axis=1) >= nb
+        attainable = best_next / jnp.power(gen_len, lp)
+        worst = jnp.min(pool_norm, axis=1)
+        done = done | (pool_full & (worst >= attainable))
+        return (tokens, new_scores, new_tok, cache, seen, pool_norm,
+                pool_tok, pool_len, done)
+
+    # ---- step 0 (prefill hidden state). beam_search masks duplicate beams;
+    # beam_sample keeps all-zero scores (samples over nb identical copies).
+    key0, sub0 = jax.random.split(rng)
+    logp0 = penalised_logp(jnp.repeat(h, nb, axis=0), seen0)
+    if stochastic:
+        beam_scores0 = jnp.zeros((bn,), jnp.float32)
+    else:
+        beam_scores0 = jnp.tile(
+            jnp.concatenate([jnp.zeros(1), jnp.full((nb - 1,), NEG)]), b
+        ).astype(jnp.float32) if nb > 1 else jnp.zeros((bn,), jnp.float32)
     tokens0 = jnp.full((bn, max_steps), cfg.stop_mel_token, jnp.int32)
-    tokens0 = tokens0.at[:, 0].set(prev0)
-    seen0 = seen0.at[jnp.arange(bn), prev0].set(True)
-    fin0 = prev0 == cfg.stop_mel_token
-    fin_len0 = jnp.where(fin0, 1, max_steps).astype(jnp.int32)
+    pool_norm0 = jnp.full((b, nb), -jnp.inf, jnp.float32)
+    pool_tok0 = jnp.full((b, nb, max_steps), cfg.stop_mel_token, jnp.int32)
+    pool_len0 = jnp.zeros((b, nb), jnp.int32)
+    done0 = jnp.zeros((b,), bool)
+    cand, src, tok, best = select_candidates(logp0, beam_scores0, sub0)
+    (tokens, beam_scores, prev, cache, seen, pool_norm, pool_tok, pool_len,
+     done) = process(cand, src, tok, best, 0, tokens0, cache, seen0,
+                     pool_norm0, pool_tok0, pool_len0, done0)
 
     def cond_fn(state):
-        j, finished = state[0], state[5]
-        return (j < max_steps) & (~jnp.all(finished))
+        j = state[0]
+        done = state[9]
+        return (j < max_steps) & (~jnp.all(done))
 
     def body_fn(state):
-        j, tokens, prev, beam_scores, cache, finished, fin_len, seen = state
+        (j, tokens, prev, beam_scores, cache, seen, pool_norm, pool_tok,
+         pool_len, done, key) = state
+        key, sub = jax.random.split(key)
         emb = (jnp.take(params["mel_emb"]["w"], prev, axis=0)
                + params["mel_pos"]["w"][j + 1]).astype(prefix_emb.dtype)
         slot = s0 + j - 1
         kk = base_keep & (jnp.arange(s_total)[None, :] <= slot)
         hh, cache = gpt_model.trunk_decode_step(params, cfg, emb, cache,
                                                 slot, kk)
-        logp = scored_logp(hh, seen)                     # (bn, V)
-        # finished beams: only continue with the stop token at no cost
-        cont = jnp.where(finished[:, None],
-                         jnp.full_like(logp, NEG).at[:, cfg.stop_mel_token]
-                         .set(0.0),
-                         logp)
-        cand = beam_scores[:, None] + cont               # (bn, V)
-        cand = cand.reshape(b, nb * vocab)
-        top_s, top_i = jax.lax.top_k(cand, nb)           # (B, nb)
-        src_beam = top_i // vocab                        # (B, nb)
-        tok = (top_i % vocab).astype(jnp.int32)
-        flat_src = (jnp.arange(b)[:, None] * nb + src_beam).reshape(bn)
-        # reorder beam state
-        tokens = jnp.take(tokens, flat_src, axis=0)
-        seen = jnp.take(seen, flat_src, axis=0)
-        fin_prev = jnp.take(finished, flat_src, axis=0)
-        flp = jnp.take(fin_len, flat_src, axis=0)
-        cache = gpt_model.KVCache(jnp.take(cache.k, flat_src, axis=1),
-                                  jnp.take(cache.v, flat_src, axis=1))
-        tok_flat = tok.reshape(bn)
-        # already-finished beams keep emitting stop (not re-recorded)
-        tokens = jnp.where(fin_prev[:, None],
-                           tokens,
-                           tokens.at[:, j].set(tok_flat))
-        seen = seen.at[jnp.arange(bn), tok_flat].set(True)
-        newly_fin = (~fin_prev) & (tok_flat == cfg.stop_mel_token)
-        fin_len_new = jnp.where(newly_fin, j + 1, flp)
-        finished = fin_prev | newly_fin
-        return (j + 1, tokens, tok_flat, top_s.reshape(bn), cache,
-                finished, fin_len_new, seen)
+        logp = penalised_logp(hh, seen)
+        cand, src, tok, best = select_candidates(logp, beam_scores, sub)
+        (tokens, beam_scores, prev, cache, seen, pool_norm, pool_tok,
+         pool_len, done) = process(cand, src, tok, best, j, tokens, cache,
+                                   seen, pool_norm, pool_tok, pool_len, done)
+        return (j + 1, tokens, prev, beam_scores, cache, seen, pool_norm,
+                pool_tok, pool_len, done, key)
 
-    state = (jnp.int32(1), tokens0, prev0, beam_scores0, cache, fin0,
-             fin_len0, seen0)
-    j, tokens, _, beam_scores, _, finished, fin_len, _ = jax.lax.while_loop(
-        cond_fn, body_fn, state)
+    state = (jnp.int32(1), tokens, prev, beam_scores, cache, seen,
+             pool_norm, pool_tok, pool_len, done, key0)
+    (j, tokens, _, beam_scores, _, _, pool_norm, pool_tok, pool_len, done,
+     _) = jax.lax.while_loop(cond_fn, body_fn, state)
 
-    # pick best beam per row by length-penalised score
-    lens = jnp.where(finished, fin_len, j).astype(jnp.float32)
-    final = beam_scores / jnp.power(jnp.maximum(lens, 1.0), length_penalty)
-    best = jnp.argmax(final.reshape(b, nb), axis=1)      # (B,)
-    idx = jnp.arange(b) * nb + best
-    out_tokens = jnp.take(tokens, idx, axis=0)
-    is_stop = out_tokens == cfg.stop_mel_token
-    any_stop = jnp.any(is_stop, axis=1)
-    first_stop = jnp.argmax(is_stop, axis=1)
-    lengths = jnp.where(any_stop, first_stop, max_steps)
-    return GenerateResult(out_tokens, lengths, j)
+    # ---- finalize: open beams of not-done batches join the pool at
+    # generated_len = max_steps (HF finalize semantics)
+    fin_norm = (beam_scores.reshape(b, nb)
+                / jnp.power(jnp.float32(max_steps), lp))
+    fin_norm = jnp.where(done[:, None], -jnp.inf, fin_norm)
+    all_norm = jnp.concatenate([pool_norm, fin_norm], axis=1)
+    all_len = jnp.concatenate(
+        [pool_len, jnp.broadcast_to(jnp.int32(max_steps), (b, nb))], axis=1)
+    all_tok = jnp.concatenate([pool_tok, tokens.reshape(b, nb, -1)], axis=1)
+    best_i = jnp.argmax(all_norm, axis=1)                       # (b,)
+    out_tokens = jnp.take_along_axis(
+        all_tok, best_i[:, None, None], axis=1)[:, 0]
+    out_len = jnp.take_along_axis(all_len, best_i[:, None], axis=1)[:, 0]
+    # stop-pad beyond the hypothesis length (pool rows may carry later junk
+    # from beams that continued past the pooled eos)
+    ar = jnp.arange(max_steps)[None, :]
+    out_tokens = jnp.where(ar < out_len[:, None], out_tokens,
+                           cfg.stop_mel_token)
+    return GenerateResult(out_tokens, out_len.astype(jnp.int32), j)
+
+
+def generate_beam(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
+                  prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
+                  num_beams: int = 3,
+                  length_penalty: float = 0.0) -> GenerateResult:
+    """Deterministic beam search (HF beam_search: do_sample=False with
+    num_beams>1 at infer.py:326-334). Returns the best hypothesis per row."""
+    return _beam_decode(params, cfg, sc, prefix_emb, pad_keep,
+                        jax.random.PRNGKey(0), num_beams, length_penalty,
+                        stochastic=False)
+
+
+def generate_beam_sample(params: Dict[str, Any], cfg: GPTConfig,
+                         sc: SamplingConfig, prefix_emb: jnp.ndarray,
+                         pad_keep: jnp.ndarray, rng: jax.Array,
+                         num_beams: int = 3,
+                         length_penalty: float = 0.0) -> GenerateResult:
+    """Stochastic beam sampling (HF beam_sample) — the reference's DEFAULT
+    decode mode (do_sample=True, num_beams=3; infer.py:326-334 →
+    gpt/model.py:698-703). Candidates are drawn without replacement via
+    Gumbel top-k, distributionally identical to torch.multinomial."""
+    return _beam_decode(params, cfg, sc, prefix_emb, pad_keep, rng,
+                        num_beams, length_penalty, stochastic=True)

@@ -321,10 +321,11 @@ class IndexTTS:
         return sub
 
     def _sampling_config(self, kw: Dict[str, Any]) -> SamplingConfig:
-        # reference defaults (infer.py:326-334); num_beams>1 routes to the
-        # deterministic beam search (the reference's HF beam_sample becomes
-        # plain sampling when beams are disabled).
-        self._num_beams = kw.pop("num_beams", 1)
+        # reference defaults (infer.py:326-334): num_beams=3 with
+        # do_sample=True → HF *beam sampling* (stochastic beams,
+        # decode.generate_beam_sample); do_sample=False → deterministic
+        # beam search; num_beams=1 → plain sampling/greedy.
+        self._num_beams = kw.pop("num_beams", 3)
         self._length_penalty = kw.pop("length_penalty", 0.0)
         return SamplingConfig(
             do_sample=kw.pop("do_sample", True),
@@ -382,10 +383,16 @@ class IndexTTS:
             self.params["gpt"], self.gpt_cfg, conds,
             pre["ids"], pre["pos"], pre["seg"], pre["cond_idx"])
         if getattr(self, "_num_beams", 1) > 1:
-            res = decode_mod.generate_beam(
-                self.params["gpt"], self.gpt_cfg, sc, emb, keep,
-                num_beams=self._num_beams,
-                length_penalty=self._length_penalty)
+            if sc.do_sample:
+                res = decode_mod.generate_beam_sample(
+                    self.params["gpt"], self.gpt_cfg, sc, emb, keep,
+                    self._next_key(), num_beams=self._num_beams,
+                    length_penalty=self._length_penalty)
+            else:
+                res = decode_mod.generate_beam(
+                    self.params["gpt"], self.gpt_cfg, sc, emb, keep,
+                    num_beams=self._num_beams,
+                    length_penalty=self._length_penalty)
         else:
             res = decode_mod.generate(self.params["gpt"], self.gpt_cfg, sc,
                                       emb, keep, self._next_key(),

@@ -174,3 +174,55 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     from index_tts_dubbing_tpu.utils.audio import read_wav
     wav, sr = read_wav(out)
     assert sr == 22050 and wav.shape[1] > 0
+
+
+def test_duration_candidate_search():
+    """IndexTTSEngine.synthesize_to_duration: batched candidate search picks
+    the nearest-duration COMPLETE utterance (no max_mel_tokens truncation),
+    ≤0.1 s error when a candidate lands inside tolerance."""
+    from index_tts_dubbing_tpu.dubbing.engines.index_tts import IndexTTSEngine
+
+    sr = 24000
+    calls = {"batch": 0, "kwargs": []}
+
+    class ScriptedTTS:
+        """Stands in for IndexTTS: natural infer = 3.0 s; one batched
+        candidate call returns 2.2 / 1.95 / 1.6 / 2.8 s utterances."""
+
+        def infer(self, voice, text, out, **kw):
+            calls["kwargs"].append(kw)
+            return sr, np.zeros((int(3.0 * sr), 1), np.int16)
+
+        def infer_batch(self, voice, texts, **kw):
+            calls["batch"] += 1
+            calls["kwargs"].append(kw)
+            durs = [2.2, 1.95, 1.6, 2.8]
+            return [(sr, np.zeros((int(d * sr), 1), np.int16))
+                    for d, _ in zip(durs, texts)]
+
+    eng = IndexTTSEngine(engine=ScriptedTTS())
+    audio, got_sr = eng.synthesize_to_duration(
+        "hello there", 2.0, voice_reference="v.wav")
+    assert got_sr == sr
+    assert abs(len(audio) / sr - 2.0) <= 0.1          # picked the 1.95 s one
+    assert calls["batch"] == 1                        # ONE batched retry
+    # no truncating mel budget was ever injected
+    assert all("max_mel_tokens" not in kw for kw in calls["kwargs"])
+
+
+def test_duration_within_tolerance_short_circuits():
+    from index_tts_dubbing_tpu.dubbing.engines.index_tts import IndexTTSEngine
+
+    sr = 24000
+
+    class OneShotTTS:
+        def infer(self, voice, text, out, **kw):
+            return sr, np.zeros((int(2.05 * sr), 1), np.int16)
+
+        def infer_batch(self, *a, **kw):
+            raise AssertionError("no batch needed inside tolerance")
+
+    eng = IndexTTSEngine(engine=OneShotTTS())
+    audio, _ = eng.synthesize_to_duration("hi", 2.0,
+                                          voice_reference="v.wav")
+    assert abs(len(audio) / sr - 2.05) < 1e-3

@@ -127,16 +127,20 @@ def run(name, step_fn, cache_shape):
     v0 = jnp.zeros(cache_shape, DTYPE)
 
     def x_init(i):
-        return (jnp.ones((B, C), DTYPE) * (0.01 * (i + 1))).block_until_ready()
+        x = jnp.ones((B, C), DTYPE) * (0.01 * (i + 1))
+        np.asarray(x)
+        return x
 
+    # sync via host transfer: on the remote (axon) backend
+    # block_until_ready returns before execution completes
     t0 = time.perf_counter()
-    loop(params, x_init(0), k0, v0).block_until_ready()
+    np.asarray(loop(params, x_init(0), k0, v0))
     t_compile = time.perf_counter() - t0
     times = []
     for i in range(3):
         x0 = x_init(i + 1)
         t0 = time.perf_counter()
-        loop(params, x0, k0, v0).block_until_ready()
+        np.asarray(loop(params, x0, k0, v0))
         times.append(time.perf_counter() - t0)
     best = min(times)
     print(f"{name:8s} compile {t_compile:6.1f}s  "
