@@ -9,13 +9,66 @@ from typing import List
 
 from index_tts_dubbing_tpu.dubbing.srt_parser import SRTEntry
 
-_SENT_SPLIT = re.compile(
-    r"(?<=[.!?。！？；;])(?![.!?。！？\"'”’)\]])\s*")
+# common sentence-internal abbreviations (pysbd-style protection; the
+# reference delegates to pysbd — txt_parser.py:7-53)
+_ABBREVIATIONS = {
+    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc", "inc",
+    "ltd", "co", "corp", "e.g", "i.e", "eg", "ie", "a.m", "p.m", "u.s",
+    "u.k", "no", "vol", "fig", "dept", "est", "approx", "jan", "feb", "mar",
+    "apr", "jun", "jul", "aug", "sep", "sept", "oct", "nov", "dec",
+}
+_CLOSERS = "”’\"')】》]"
+_WORD_BEFORE = re.compile(r"([A-Za-z][A-Za-z.]*)$")
 
 
 def split_sentences(text: str) -> List[str]:
-    parts = [p.strip() for p in _SENT_SPLIT.split(text)]
-    return [p for p in parts if p]
+    """Sentence segmentation with abbreviation / decimal / initial /
+    ellipsis awareness ('Dr. Smith', '3.5', 'J. K.', '...' stay intact)."""
+    out: List[str] = []
+    start, i, n = 0, 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in "。！？；":
+            j = i + 1
+            while j < n and text[j] in _CLOSERS:
+                j += 1
+            out.append(text[start:j])
+            start = i = j
+            continue
+        if ch in ".!?;":
+            if ch == ".":
+                # decimal point (3.5) — not a boundary
+                if (0 < i < n - 1 and text[i - 1].isdigit()
+                        and text[i + 1].isdigit()):
+                    i += 1
+                    continue
+                m = _WORD_BEFORE.search(text[start:i])
+                word = m.group(1).lower() if m else ""
+                # abbreviation or single-letter initial — not a boundary
+                if word in _ABBREVIATIONS or (len(word) == 1 and word.isalpha()):
+                    i += 1
+                    continue
+            j = i + 1
+            while j < n and text[j] in ".!?。！？":    # ... / ?! runs
+                j += 1
+            # period/ellipsis followed by a lowercase word continues the
+            # sentence ("Wait... really?") — pysbd behaviour
+            if text[j - 1] == ".":
+                k = j
+                while k < n and text[k] == " ":
+                    k += 1
+                if k < n and text[k].isalpha() and text[k].islower():
+                    i = j
+                    continue
+            while j < n and text[j] in _CLOSERS:
+                j += 1
+            out.append(text[start:j])
+            start = i = j
+            continue
+        i += 1
+    if text[start:].strip():
+        out.append(text[start:])
+    return [s.strip() for s in out if s.strip()]
 
 
 class TXTParser:

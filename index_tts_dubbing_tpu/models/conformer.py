@@ -58,6 +58,18 @@ def linear_no_subsample(p: Params, x: jnp.ndarray, mask: jnp.ndarray
     return h, mask
 
 
+def conv2d_subsample3(p: Params, x: jnp.ndarray, mask: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Conv2dSubsampling3 (subsampling.py:81-132): one Conv2d(1→odim, k5,
+    s3) → ReLU → linear over (odim · (F−2)//3). Mask: [:-2:3]."""
+    h = x[:, :, :, None]
+    h = jax.nn.relu(nn.conv2d(p["conv"], h, stride=(3, 3), padding="VALID"))
+    b, t2, f2, c = h.shape
+    h = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, t2, c * f2)
+    h = nn.linear(p["out"], h)
+    return h, mask[:, :-2:3]
+
+
 def conv2d_subsample4(p: Params, x: jnp.ndarray, mask: jnp.ndarray
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Conv2dSubsampling4 (subsampling.py:189-244): two k3-s2 convs → ×1/4."""

@@ -64,8 +64,8 @@ def test_subsampling_variants_parity(rng):
     from tests.ref_loader import load_reference
     load_reference()
     from indextts.gpt.conformer.subsampling import (
-        LinearNoSubsampling, Conv2dSubsampling4, Conv2dSubsampling6,
-        Conv2dSubsampling8)
+        LinearNoSubsampling, Conv2dSubsampling3, Conv2dSubsampling4,
+        Conv2dSubsampling6, Conv2dSubsampling8)
     from indextts.gpt.conformer.embedding import NoPositionalEncoding
     from index_tts_dubbing_tpu.models import conformer as jc
     from index_tts_dubbing_tpu.utils.convert import (
@@ -90,7 +90,8 @@ def test_subsampling_variants_parity(rng):
     got, gm = jc.linear_no_subsample(p, x, mask[:, 0])
     np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5)
 
-    for cls, fn, n_convs in ((Conv2dSubsampling4, jc.conv2d_subsample4, 2),
+    for cls, fn, n_convs in ((Conv2dSubsampling3, jc.conv2d_subsample3, 1),
+                             (Conv2dSubsampling4, jc.conv2d_subsample4, 2),
                              (Conv2dSubsampling6, jc.conv2d_subsample6, 2),
                              (Conv2dSubsampling8, jc.conv2d_subsample8, 3)):
         m = cls(idim, odim, 0.0, NoPositionalEncoding(odim, 0.0))
@@ -99,8 +100,9 @@ def test_subsampling_variants_parity(rng):
         p = {}
         conv_idx = [i for i in (0, 2, 4)][:n_convs]
         for ci, rawi in enumerate(conv_idx):
-            p[f"conv{ci}"] = {"w": conv2d_w(sd[f"conv.{rawi}.weight"]),
-                              "b": sd[f"conv.{rawi}.bias"]}
+            key = "conv" if n_convs == 1 else f"conv{ci}"
+            p[key] = {"w": conv2d_w(sd[f"conv.{rawi}.weight"]),
+                      "b": sd[f"conv.{rawi}.bias"]}
         wkey = "out.0.weight" if "out.0.weight" in sd else "linear.weight" \
             if "linear.weight" in sd else "out.weight"
         bkey = wkey.replace("weight", "bias")

