@@ -69,6 +69,41 @@ def remove_long_silence(codes: np.ndarray, stop_mel_token: int = 8193,
     return padded, np.asarray(lens, np.int64)
 
 
+@partial(jax.jit, static_argnames=("stop_mel_token", "silent_token",
+                                   "max_consecutive"))
+def remove_long_silence_device(codes: jnp.ndarray, stop_mel_token: int = 8193,
+                               silent_token: int = 52,
+                               max_consecutive: int = 30
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Jittable silence trim (same semantics as remove_long_silence): codes
+    (B, S) → (compacted codes stop-padded (B, S), lens (B,)). Static shapes —
+    rows are compacted in place, enabling decode→trim→latent chains without
+    a host round-trip (SURVEY §7 step 6)."""
+    b, s = codes.shape
+    idx = jnp.arange(s)[None, :]
+    is_stop = codes == stop_mel_token
+    any_stop = jnp.any(is_stop, axis=1)
+    ln = jnp.where(any_stop, jnp.argmax(is_stop, axis=1), s)[:, None]
+    valid = idx < ln
+    silent = codes == silent_token
+    # run length of consecutive silents ending at i: i − last non-silent idx
+    last_ns = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(~silent, idx, -1), axis=1)
+    run = idx - last_ns
+    trim_row = jnp.sum(silent, axis=1, keepdims=True) > max_consecutive
+    keep = valid & jnp.where(trim_row, ~silent | (run <= 10), True)
+    new_pos = jnp.cumsum(keep, axis=1) - 1
+    lens = jnp.sum(keep, axis=1)
+    # scatter kept tokens to their compacted positions; dropped tokens all
+    # write the stop/pad value to column s-1 (a kept token can land there
+    # only when nothing was dropped, so the writes never conflict)
+    dst = jnp.where(keep, new_pos, s - 1)
+    out = jnp.full((b, s), stop_mel_token, codes.dtype)
+    out = out.at[jnp.arange(b)[:, None], dst].set(
+        jnp.where(keep, codes, stop_mel_token))
+    return out, lens
+
+
 def bucket_sentences(sentences: Sequence, bucket_max_size: int = 4
                      ) -> List[List[Dict]]:
     """Length-sorted sentence bucketing (port of infer.py:188-243)."""
@@ -368,6 +403,17 @@ class IndexTTS:
     def _decode_batch(self, conds, token_rows: List[np.ndarray],
                       sc: SamplingConfig) -> Tuple[np.ndarray, np.ndarray]:
         """AR decode for a batch of token rows at bucketed static shapes."""
+        res, n_real = self._decode_batch_async(conds, token_rows, sc)
+        return (np.asarray(res.codes)[:n_real],
+                np.asarray(res.lengths)[:n_real])
+
+    def _decode_batch_async(self, conds, token_rows: List[np.ndarray],
+                            sc: SamplingConfig):
+        """Dispatch one bucketed decode WITHOUT synchronising: returns the
+        on-device GenerateResult handle + the real row count. JAX dispatch is
+        async, so the caller can queue several buckets back-to-back and the
+        chip pipelines them while the host post-processes earlier results
+        (stage overlap, SURVEY §2.3 async row)."""
         n_real = len(token_rows)
         if self.mesh is not None:
             # batch must tile the data axis: pad with copies of the last row
@@ -397,8 +443,7 @@ class IndexTTS:
             res = decode_mod.generate(self.params["gpt"], self.gpt_cfg, sc,
                                       emb, keep, self._next_key(),
                                       mesh=self.mesh)
-        return (np.asarray(res.codes)[:n_real],
-                np.asarray(res.lengths)[:n_real])
+        return res, n_real
 
     def _bucket_dims(self, lt: int, code_len: int) -> Tuple[int, int]:
         lb = next((b for b in self.TEXT_BUCKETS if b >= lt), lt)
@@ -514,18 +559,24 @@ class IndexTTS:
 
         all_idx: List[int] = []
         lat_rows: List[Tuple[np.ndarray, np.ndarray, int]] = []
+        # dispatch every bucket's decode before collecting any: the chip
+        # pipelines bucket k+1's decode while the host trims bucket k
+        t0 = time.perf_counter()
+        pending = []
         for bucket in buckets:
             rows = [np.asarray(
                 self.tokenizer.convert_tokens_to_ids(item["sent"]), np.int32)
                 for item in bucket]
-            t0 = time.perf_counter()
-            codes, _ = self._decode_batch(conds, rows, sc)
-            times.gpt_gen += time.perf_counter() - t0
+            pending.append((bucket, rows,
+                            self._decode_batch_async(conds, rows, sc)))
+        for bucket, rows, (res, n_real) in pending:
+            codes = np.asarray(res.codes)[:n_real]
             for i, item in enumerate(bucket):
                 row_codes, row_lens = remove_long_silence(
                     codes[i:i + 1], self.stop_mel_token)
                 all_idx.append(item["idx"])
                 lat_rows.append((rows[i], row_codes[0], int(row_lens[0])))
+        times.gpt_gen += time.perf_counter() - t0
         t0 = time.perf_counter()
         all_latents = self._latents_batch(conds, lat_rows)
         times.gpt_forward += time.perf_counter() - t0
@@ -596,6 +647,8 @@ class IndexTTS:
             buckets = []
         else:
             buckets = bucket_sentences(flat_sents, bucket_max_size=8)
+        t0 = time.perf_counter()
+        pending = []
         for bucket in buckets:
             rows = [np.asarray(
                 self.tokenizer.convert_tokens_to_ids(item["sent"]), np.int32)
@@ -603,14 +656,17 @@ class IndexTTS:
             if not rows or all(r.size == 0 for r in rows):
                 continue
             rows = [r if r.size else np.array([2], np.int32) for r in rows]
-            t0 = time.perf_counter()
-            codes, _ = self._decode_batch(conds, rows, sc)
-            times.gpt_gen += time.perf_counter() - t0
+            pending.append((bucket, rows,
+                            self._decode_batch_async(conds, rows, sc)))
+        for bucket, rows, (res, n_real) in pending:
+            codes = np.asarray(res.codes)[:n_real]
             for i, item in enumerate(bucket):
                 row_codes, row_lens = remove_long_silence(
                     codes[i:i + 1], self.stop_mel_token)
                 sent_ids.append(item["idx"])
                 lat_rows.append((rows[i], row_codes[0], int(row_lens[0])))
+        if pending:
+            times.gpt_gen += time.perf_counter() - t0
         t0 = time.perf_counter()
         lat_list = self._latents_batch(conds, lat_rows)
         times.gpt_forward += time.perf_counter() - t0

@@ -98,3 +98,29 @@ def test_latent_bucketing_exact(engine, rng):
         params, cfg, conds, tp, np.array([9]), cp, np.array([12])))
     np.testing.assert_allclose(bucketed[0, :12], exact[0, :12],
                                atol=2e-5, rtol=1e-4)
+
+
+def test_remove_long_silence_device_parity(rng):
+    """Jittable silence trim ≡ the host implementation on random rows."""
+    from index_tts_dubbing_tpu.engine.tts import (
+        remove_long_silence, remove_long_silence_device)
+
+    stop, silent = 8193, 52
+    for trial in range(6):
+        b, s = 3, 64
+        codes = rng.integers(0, 8192, size=(b, s)).astype(np.int32)
+        # inject silent runs and stops
+        codes[0, 5:45] = silent                       # long run → trimmed
+        codes[0, 50] = stop
+        codes[1, 10] = stop                           # short row
+        codes[2, ::3] = silent                        # scattered silents
+        if trial % 2:
+            codes[2, 60] = stop
+        want, want_lens = remove_long_silence(codes, stop)
+        got, got_lens = remove_long_silence_device(codes, stop)
+        got = np.asarray(got)
+        np.testing.assert_array_equal(np.asarray(got_lens), want_lens)
+        for i in range(b):
+            n = int(want_lens[i])
+            np.testing.assert_array_equal(got[i, :n], want[i, :n])
+            assert (got[i, n:] == stop).all()
