@@ -44,17 +44,23 @@ def main():
     sr = engine.cfg.mel.sample_rate
     rng = np.random.default_rng(0)
 
-    # synthetic workload: 5 s reference prompt, 4 sentences x 48 text tokens,
-    # 192 mel codes each (≈8.2 s audio per sentence)
+    # synthetic workload: 5 s reference prompt, 16 sentences x 48 text
+    # tokens, 192 mel codes each (≈8.2 s audio per sentence) — the
+    # infer_fast/infer_batch multi-sentence production path at its B=16
+    # bucket (decode step time is nearly flat in B, so the large bucket is
+    # ~4x decode throughput vs B=4; tools/profile_decode_modes.py)
     cond_mel = rng.standard_normal((1, 100, 470)).astype(np.float32)
     engine.set_cond_mel(cond_mel)
-    batch = 4
+    batch = 16
     n_text = 48
     steps = 192
     rows = [rng.integers(2, 12000, size=n_text).astype(np.int32)
             for _ in range(batch)]
 
-    sc = engine._sampling_config(dict(do_sample=True, max_mel_tokens=steps))
+    # num_beams=1: the sampling fast path (the reference's quality default
+    # num_beams=3 is available but benches the same kernels 3x wider)
+    sc = engine._sampling_config(dict(do_sample=True, num_beams=1,
+                                      max_mel_tokens=steps))
     conds = engine._conditioning(cond_mel)
     spk = engine.vocoder.speaker_embedding(
         jnp.asarray(cond_mel.transpose(0, 2, 1)))

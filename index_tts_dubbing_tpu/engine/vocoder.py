@@ -301,8 +301,10 @@ class WindowedVocoder:
 
     WINDOW_COUNT_BUCKETS = (1, 2, 4, 8, 16, 32)
 
+    # window=112 measured fastest on-chip (halo overhead 1.29x vs 1.67x at
+    # 48; w=240 loses to smaller window batches — profile_vocoder_window.py)
     def __init__(self, params: Dict[str, Any], cfg: BigVGANConfig,
-                 window: int = 48, halo: int = DEFAULT_HALO,
+                 window: int = 112, halo: int = DEFAULT_HALO,
                  max_batch: int = 32, compute_dtype=None,
                  layout: Optional[str] = None,
                  use_pallas: Optional[bool] = None):
