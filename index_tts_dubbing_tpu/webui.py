@@ -25,11 +25,14 @@ def build_demo(tts, i18n=None, cases_path: str | None = None):
 
     def gen_single(prompt, text, infer_mode, max_text_tokens_per_sentence,
                    sentences_bucket_max_size, do_sample, top_p, top_k,
-                   temperature, repetition_penalty, max_mel_tokens,
+                   temperature, length_penalty, num_beams,
+                   repetition_penalty, max_mel_tokens,
                    progress=gr.Progress()):
         tts.gr_progress = progress
         kwargs = dict(do_sample=bool(do_sample), top_p=float(top_p),
                       top_k=int(top_k), temperature=float(temperature),
+                      length_penalty=float(length_penalty),
+                      num_beams=int(num_beams),
                       repetition_penalty=float(repetition_penalty),
                       max_mel_tokens=int(max_mel_tokens))
         if infer_mode == i18n("standard"):
@@ -66,6 +69,8 @@ def build_demo(tts, i18n=None, cases_path: str | None = None):
             top_p = gr.Slider(0.0, 1.0, value=0.8, label="top_p")
             top_k = gr.Slider(0, 100, value=30, step=1, label="top_k")
             temperature = gr.Slider(0.1, 2.0, value=1.0, label="temperature")
+            length_penalty = gr.Number(value=0.0, label="length_penalty")
+            num_beams = gr.Slider(1, 10, value=3, step=1, label="num_beams")
             repetition_penalty = gr.Number(value=10.0,
                                            label="repetition_penalty")
             max_mel_tokens = gr.Slider(50, 600, value=600, step=10,
@@ -81,8 +86,8 @@ def build_demo(tts, i18n=None, cases_path: str | None = None):
         gen_btn.click(
             gen_single,
             [prompt, text, infer_mode, max_text_tokens, bucket_size,
-             do_sample, top_p, top_k, temperature, repetition_penalty,
-             max_mel_tokens],
+             do_sample, top_p, top_k, temperature, length_penalty, num_beams,
+             repetition_penalty, max_mel_tokens],
             [output])
         if cases_path and Path(cases_path).exists():
             examples = []

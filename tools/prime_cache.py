@@ -82,14 +82,14 @@ def main(argv=None):
             prime(f"generate B={b} text={tb}", decode_mod.generate,
                   gpt_sds, cfg, sc, emb, keep, key_sds, mesh=None)
             prime(f"beam_sample(3) B={b} text={tb}",
-                  decode_mod.generate_beam_sample,
-                  gpt_sds, cfg, sc, emb, keep, key_sds, num_beams=3,
-                  length_penalty=0.0)
+                  decode_mod._beam_decode,
+                  gpt_sds, cfg, sc, emb, keep, key_sds, 3, 0.0, True)
 
     print("priming latent-pass shapes...", flush=True)
     from index_tts_dubbing_tpu.engine.tts import _latent_jit
     for tb in text_buckets:
         for cb in code_buckets:
+            cb = min(cb, cfg.max_mel_tokens)   # engine clamps the top bucket
             for b in batches:
                 conds = jax.ShapeDtypeStruct(
                     (b, cfg.condition_num_latent, cfg.model_dim), dtype)
