@@ -19,7 +19,7 @@ from index_tts_dubbing_tpu.utils.config import EngineConfig
 
 nums = [a for a in sys.argv[1:] if a.isdigit()]
 STEPS = int(nums[0]) if nums else 192
-MODES = ["gen4", "gen16", "cb16"]
+MODES = ["gen4", "gen16", "cb16"]  # + "beam4" (nb=3 beam sampling)
 for a in sys.argv[1:]:
     if a.startswith("--modes="):
         MODES = a.split("=", 1)[1].split(",")
@@ -92,10 +92,40 @@ def run_engine(quant):
                 print(f"  [{tag}] cb B={B} reqs={n_req}: {dt:.1f}s  "
                       f"{total_tokens/dt:.0f} tok/s", flush=True)
 
+    def bench_beam(B, nb=3):
+        rows = [rng.integers(2, 12000, size=48).astype(np.int32)
+                for _ in range(B)]
+        sc = engine._sampling_config(dict(do_sample=True, num_beams=nb,
+                                          max_mel_tokens=STEPS))
+        pre = decode_mod.prepare_prefix_host(engine.gpt_cfg, rows, pad_to=48)
+        emb, keep = decode_mod.build_prefix_emb(
+            engine.params["gpt"], engine.gpt_cfg, conds,
+            jnp.asarray(pre["ids"]), jnp.asarray(pre["pos"]),
+            jnp.asarray(pre["seg"]), jnp.asarray(pre["cond_idx"]))
+        np.asarray(emb)
+        best = 1e9
+        for it in range(3):
+            t0 = time.perf_counter()
+            res = decode_mod.generate_beam_sample(
+                engine.params["gpt"], engine.gpt_cfg, sc, emb, keep,
+                jax.random.PRNGKey(it), num_beams=nb)
+            np.asarray(res.codes)
+            dt = time.perf_counter() - t0
+            nsteps = int(np.asarray(res.steps))
+            if it == 0:
+                print(f"  [{tag}] beam{nb} B={B}: compile+run {dt:.1f}s "
+                      f"({nsteps} steps)", flush=True)
+            else:
+                best = min(best, dt / max(nsteps, 1))
+        print(f"  [{tag}] beam{nb} B={B}: {best*1e3:.2f} ms/step  "
+              f"{B/best:.0f} rows-tok/s", flush=True)
+
     if "gen4" in MODES:
         bench_generate(4)
     if "gen16" in MODES:
         bench_generate(16)
+    if "beam4" in MODES:
+        bench_beam(4)
     if "cb16" in MODES:
         bench_cb(16, 32)
 
