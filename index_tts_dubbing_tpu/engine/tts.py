@@ -470,6 +470,9 @@ class IndexTTS:
             groups.setdefault((lb, mb), []).append(i)
             dims.append((lb, mb))
         out: List[Optional[np.ndarray]] = [None] * len(rows)
+        # dispatch every group's forward before collecting any result (async
+        # dispatch: group k+1 computes while group k downloads)
+        pending = []
         for (lb, mb), idxs in groups.items():
             g = len(idxs)
             text = np.full((g, lb), self.gpt_cfg.stop_text_token, np.int32)
@@ -485,9 +488,12 @@ class IndexTTS:
             cnds = conds
             if cnds.shape[0] == 1 and g > 1:
                 cnds = jnp.broadcast_to(cnds, (g,) + cnds.shape[1:])
-            lat = np.asarray(_latent_jit(
+            dev = _latent_jit(
                 self.params["gpt"], self.gpt_cfg, cnds, jnp.asarray(text),
-                jnp.asarray(tlens), jnp.asarray(cpad), jnp.asarray(clens)))
+                jnp.asarray(tlens), jnp.asarray(cpad), jnp.asarray(clens))
+            pending.append((idxs, clens, dev))
+        for idxs, clens, dev in pending:
+            lat = np.asarray(dev)
             for gi, i in enumerate(idxs):
                 out[i] = lat[gi, : int(clens[gi])]
         return out  # type: ignore[return-value]

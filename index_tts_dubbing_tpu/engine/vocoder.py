@@ -383,7 +383,10 @@ class WindowedVocoder:
         # split the window list into power-of-two batches (largest ≤
         # max_batch first): every call exactly fills its compiled shape, so
         # no padded rows are ever computed (17 windows → 16 + 1, not a
-        # padded 32-batch).
+        # padded 32-batch). All batches are DISPATCHED before any result is
+        # collected — jax dispatch is async, so batch k+1's upload/compute
+        # overlaps batch k's download instead of serialising on np.asarray.
+        chunks = []
         c0 = 0
         while c0 < len(wins):
             rem = len(wins) - c0
@@ -393,9 +396,11 @@ class WindowedVocoder:
             lat = np.empty((n, full, latent.shape[1]), np.float32)
             for i, (_, _, lo) in enumerate(chunk):
                 lat[i] = latent[lo: lo + full]
-            wavs = np.asarray(vocode(
-                self.params, self.cfg,
-                jnp.asarray(lat, self.compute_dtype), spk)).astype(np.float32)
+            dev = vocode(self.params, self.cfg,
+                         jnp.asarray(lat, self.compute_dtype), spk)
+            chunks.append((chunk, dev))
+        for chunk, dev in chunks:
+            wavs = np.asarray(dev).astype(np.float32)
             for i, (s, e, lo) in enumerate(chunk):
                 off = s - lo
                 out[s * up: e * up] = wavs[i, off * up: (off + e - s) * up]
