@@ -246,12 +246,20 @@ def _act_cm(cfg: BigVGANConfig, p: Dict[str, Any], x: jnp.ndarray,
                                           cfg.snake_logscale, use_pallas)
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
+@partial(jax.jit, static_argnames=("cfg", "use_pallas", "fuse_resblocks"))
 def _vocode_window_cmajor(params: Dict[str, Any], cfg: BigVGANConfig,
                           latent: jnp.ndarray, spk: jnp.ndarray,
-                          use_pallas: bool = True) -> jnp.ndarray:
+                          use_pallas: bool = True,
+                          fuse_resblocks: bool = False) -> jnp.ndarray:
     """One window (B, W, gpt_dim) + speaker embedding → wav (B, W·1024),
-    computed entirely in the (B, C, T) layout."""
+    computed entirely in the (B, C, T) layout.
+
+    fuse_resblocks: run each whole AMP resblock of the C ≤ 128 stages as ONE
+    Pallas kernel (ops/pallas_resblock.py) — those stages are overhead-bound,
+    not FLOP-bound (571 of ~709 ms at B=16·w112 before fusion)."""
+    from index_tts_dubbing_tpu.ops.pallas_resblock import (
+        fused_resblock_cmajor, pack_resblock)
+
     if spk.shape[0] == 1 and latent.shape[0] > 1:
         spk = jnp.broadcast_to(spk, (latent.shape[0],) + spk.shape[1:])
     x = jnp.swapaxes(latent, 1, 2)              # (B, gpt_dim, W) — small
@@ -269,15 +277,21 @@ def _vocode_window_cmajor(params: Dict[str, Any], cfg: BigVGANConfig,
         for j in range(cfg.num_kernels):
             rb = params["resblocks"][i * cfg.num_kernels + j]
             kk = cfg.resblock_kernel_sizes[j]
-            y = x
-            acts1, acts2 = rb["acts"][::2], rb["acts"][1::2]
-            for c1, c2, a1, a2, d in zip(rb["convs1"], rb["convs2"], acts1,
-                                         acts2, cfg.resblock_dilation_sizes[j]):
-                yt = _act_cm(cfg, a1, y, use_pallas)
-                yt = _conv1d_cm(c1, yt, dilation=d, padding=(kk * d - d) // 2)
-                yt = _act_cm(cfg, a2, yt, use_pallas)
-                yt = _conv1d_cm(c2, yt, padding=(kk - 1) // 2)
-                y = yt + y
+            dils = tuple(cfg.resblock_dilation_sizes[j])
+            if fuse_resblocks and x.shape[1] <= 128:
+                w1, b1, w2, b2, acts = pack_resblock(rb, cfg, x.dtype)
+                y = fused_resblock_cmajor(x, w1, b1, w2, b2, acts, kk, dils)
+            else:
+                y = x
+                acts1, acts2 = rb["acts"][::2], rb["acts"][1::2]
+                for c1, c2, a1, a2, d in zip(rb["convs1"], rb["convs2"],
+                                             acts1, acts2, dils):
+                    yt = _act_cm(cfg, a1, y, use_pallas)
+                    yt = _conv1d_cm(c1, yt, dilation=d,
+                                    padding=(kk * d - d) // 2)
+                    yt = _act_cm(cfg, a2, yt, use_pallas)
+                    yt = _conv1d_cm(c2, yt, padding=(kk - 1) // 2)
+                    y = yt + y
             xs = y if xs is None else xs + y
         x = xs / cfg.num_kernels
     x = _act_cm(cfg, params["act_post"], x, use_pallas)
@@ -307,7 +321,8 @@ class WindowedVocoder:
                  window: int = 112, halo: int = DEFAULT_HALO,
                  max_batch: int = 32, compute_dtype=None,
                  layout: Optional[str] = None,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 fuse_resblocks: Optional[bool] = None):
         self.params = params
         self.cfg = cfg
         self.window = window
@@ -326,6 +341,10 @@ class WindowedVocoder:
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
+        # whole-resblock Pallas fusion for the C ≤ 128 stages (TPU-only)
+        if fuse_resblocks is None:
+            fuse_resblocks = use_pallas and jax.default_backend() == "tpu"
+        self.fuse_resblocks = fuse_resblocks
         # bf16 compute matches the reference's fp16-autocast vocoder
         # (infer.py:613) and is ~8x MXU throughput vs fp32 on TPU; fp32 is
         # the parity/test default.
@@ -360,7 +379,8 @@ class WindowedVocoder:
         if spk is None:
             spk = self.speaker_embedding(jnp.asarray(mel_ref))
         if self.layout == "cmajor":
-            vocode = partial(_vocode_window_cmajor, use_pallas=self.use_pallas)
+            vocode = partial(_vocode_window_cmajor, use_pallas=self.use_pallas,
+                             fuse_resblocks=self.fuse_resblocks)
         else:
             vocode = _vocode_window
         w, h, up = self.window, self.halo, self.upsample

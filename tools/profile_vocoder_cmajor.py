@@ -64,6 +64,10 @@ if "cmajor_xla" in which:
     outs["cmajor_xla"] = run(
         "cmajor_xla", lambda p, c, l, s: voc._vocode_window_cmajor(
             p, c, l, s, use_pallas=False))
+if "fused" in which:
+    outs["fused"] = run(
+        "fused", lambda p, c, l, s: voc._vocode_window_cmajor(
+            p, c, l, s, use_pallas=True, fuse_resblocks=True))
 if len(outs) > 1 and "ref" in outs:
     for k, v in outs.items():
         if k == "ref":

@@ -25,6 +25,7 @@ jax_setup.setup_jax()
 nums = [a for a in sys.argv[1:] if a.isdigit()]
 NB = int(nums[0]) if nums else 16
 WIN = int(nums[1]) if len(nums) > 1 else 112
+FUSE = "fused" in sys.argv
 
 cfg = EngineConfig().bigvgan
 rng = np.random.default_rng(0)
@@ -35,8 +36,10 @@ params = jax.tree.map(
 params = jax.device_put(params)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_stages", "use_pallas"))
-def _upto(params, cfg, latent, spk, n_stages: int, use_pallas: bool = True):
+@partial(jax.jit, static_argnames=("cfg", "n_stages", "use_pallas",
+                                   "fuse", "half_last"))
+def _upto(params, cfg, latent, spk, n_stages: int, use_pallas: bool = True,
+          fuse: bool = False, half_last: bool = False):
     """First n_stages upsample stages of the cmajor window (post conv_pre)."""
     if spk.shape[0] == 1 and latent.shape[0] > 1:
         spk = jnp.broadcast_to(spk, (latent.shape[0],) + spk.shape[1:])
@@ -44,6 +47,8 @@ def _upto(params, cfg, latent, spk, n_stages: int, use_pallas: bool = True):
     spk_cm = jnp.swapaxes(spk, 1, 2)
     x = voc._conv1d_cm(params["conv_pre"], x, padding=3)
     x = x + voc._conv1d_cm(params["cond_layer"], spk_cm)
+    from index_tts_dubbing_tpu.ops.pallas_resblock import (
+        fused_resblock_cmajor, pack_resblock)
     for i in range(n_stages):
         u = cfg.upsample_rates[i]
         k = cfg.upsample_kernel_sizes[i]
@@ -51,10 +56,19 @@ def _upto(params, cfg, latent, spk, n_stages: int, use_pallas: bool = True):
                                      padding=(k - u) // 2)
         if cfg.cond_in_each_up_layer:
             x = x + voc._conv1d_cm(params["conds"][i], spk_cm)
+        if half_last and i == n_stages - 1:
+            break  # transpose+cond only for the last counted stage
         xs = None
         for j in range(cfg.num_kernels):
             rb = params["resblocks"][i * cfg.num_kernels + j]
             kk = cfg.resblock_kernel_sizes[j]
+            if fuse and x.shape[1] <= 128:
+                w1, b1, w2, b2, acts = pack_resblock(rb, cfg, x.dtype)
+                y = fused_resblock_cmajor(
+                    x, w1, b1, w2, b2, acts, kk,
+                    tuple(cfg.resblock_dilation_sizes[j]))
+                xs = y if xs is None else xs + y
+                continue
             y = x
             acts1, acts2 = rb["acts"][::2], rb["acts"][1::2]
             for c1, c2, a1, a2, d in zip(rb["convs1"], rb["convs2"], acts1,
@@ -77,16 +91,27 @@ spk = jnp.asarray(rng.standard_normal((1, 1, cfg.speaker_embedding_dim)),
                   jnp.bfloat16)
 audio_s = NB * WIN * 1024 / 24000.0
 
-prev = 0.0
-for n in range(cfg.num_upsamples + 1):
+def timed(n, half):
     lat = jnp.asarray(lat_np, jnp.bfloat16)
-    np.asarray(_upto(params, cfg, lat, spk, n))      # compile+warm
+    np.asarray(_upto(params, cfg, lat, spk, n, fuse=FUSE, half_last=half))
     best = 1e9
     for i in range(3):
         lat = jnp.asarray(lat_np * (1 + 1e-3 * i), jnp.bfloat16)
         t0 = time.perf_counter()
-        np.asarray(_upto(params, cfg, lat, spk, n))
+        np.asarray(_upto(params, cfg, lat, spk, n, fuse=FUSE,
+                         half_last=half))
         best = min(best, time.perf_counter() - t0)
+    return best
+
+
+prev = 0.0
+print(f"fuse_resblocks={FUSE}")
+for n in range(cfg.num_upsamples + 1):
+    if n:
+        half = timed(n, True)
+        print(f"  stage {n} transpose+cond: +{(half-prev)*1e3:7.1f} ms",
+              flush=True)
+    best = timed(n, False)
     c = cfg.stage_channels(n - 1) if n else "-"
     print(f"through stage {n} (C={c}): {best*1e3:8.1f} ms  "
           f"(+{(best-prev)*1e3:7.1f} ms)  RTF {best/audio_s:.5f}", flush=True)
