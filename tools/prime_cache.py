@@ -112,7 +112,8 @@ def main(argv=None):
         if voc.layout == "cmajor":
             prime(f"vocoder cmajor NB={nb}", voc_mod._vocode_window_cmajor,
                   bv_sds, engine.bigvgan_cfg, lat, spk,
-                  use_pallas=voc.use_pallas)
+                  use_pallas=voc.use_pallas,
+                  fuse_resblocks=voc.fuse_resblocks)
         else:
             prime(f"vocoder ref NB={nb}", voc_mod._vocode_window,
                   bv_sds, engine.bigvgan_cfg, lat, spk)
