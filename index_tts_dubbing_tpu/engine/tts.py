@@ -498,6 +498,45 @@ class IndexTTS:
                 out[i] = lat[gi, : int(clens[gi])]
         return out  # type: ignore[return-value]
 
+    def _latents_batch_device(self, conds, rows):
+        """Like ``_latents_batch`` but the latents STAY ON DEVICE: returns
+        (lat (n, MB, C) device array, lens (n,) np, rowmap (n,) np) where
+        lat row k holds input row rowmap[k] padded to the common code bucket
+        MB. Feeds WindowedVocoder.stream_device — the stitched stream never
+        round-trips through the host."""
+        groups: Dict[Tuple[int, int], List[int]] = {}
+        for i, (text_tokens, codes, code_len) in enumerate(rows):
+            lb, mb = self._bucket_dims(text_tokens.size, code_len)
+            groups.setdefault((lb, mb), []).append(i)
+        mb_all = max(mb for (_, mb) in groups)
+        pending = []
+        for (lb, mb), idxs in groups.items():
+            g = len(idxs)
+            text = np.full((g, lb), self.gpt_cfg.stop_text_token, np.int32)
+            cpad = np.full((g, mb), self.stop_mel_token, np.int32)
+            tlens = np.zeros(g, np.int64)
+            clens = np.zeros(g, np.int64)
+            for gi, i in enumerate(idxs):
+                text_tokens, codes, code_len = rows[i]
+                text[gi, :text_tokens.size] = text_tokens
+                cpad[gi, :code_len] = codes[:code_len]
+                tlens[gi] = text_tokens.size
+                clens[gi] = code_len
+            cnds = conds
+            if cnds.shape[0] == 1 and g > 1:
+                cnds = jnp.broadcast_to(cnds, (g,) + cnds.shape[1:])
+            dev = _latent_jit(
+                self.params["gpt"], self.gpt_cfg, cnds, jnp.asarray(text),
+                jnp.asarray(tlens), jnp.asarray(cpad), jnp.asarray(clens))
+            if mb < mb_all:
+                dev = jnp.pad(dev, ((0, 0), (0, mb_all - mb), (0, 0)))
+            pending.append((idxs, clens, dev))
+        parts = [dev for _, _, dev in pending]
+        lat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        rowmap = np.concatenate([idxs for idxs, _, _ in pending])
+        lens = np.concatenate([clens for _, clens, _ in pending])
+        return lat, lens, rowmap
+
     # ------------------------------------------------------------------
     def _set_gr_progress(self, value, desc):
         if self.gr_progress is not None:
@@ -584,16 +623,19 @@ class IndexTTS:
                 lat_rows.append((rows[i], row_codes[0], int(row_lens[0])))
         times.gpt_gen += time.perf_counter() - t0
         t0 = time.perf_counter()
-        all_latents = self._latents_batch(conds, lat_rows)
+        if lat_rows:
+            lat_dev, lens, rowmap = self._latents_batch_device(conds,
+                                                               lat_rows)
         times.gpt_forward += time.perf_counter() - t0
-        # restore order, stitch latents, windowed vocode over the whole stream
-        order = np.argsort(all_idx)
-        latents = [all_latents[i] for i in order]
-        bounds = np.cumsum([0] + [l.shape[0] for l in latents])
+        # stream order (by sentence idx) as lat-row indices; the stitched
+        # stream is assembled ON DEVICE by the vocoder's gather
         t0 = time.perf_counter()
-        if latents:
-            latent_stream = np.concatenate(latents, axis=0)
-            wav = self.vocoder(latent_stream, spk=spk)
+        if lat_rows:
+            inv = np.empty(len(lat_rows), np.int64)
+            inv[rowmap] = np.arange(len(lat_rows))
+            order = inv[np.argsort(all_idx)]
+            wav = self.vocoder.stream_device(lat_dev, lens, order=order,
+                                             spk=spk)
         else:
             wav = np.zeros(0, np.float32)
         times.bigvgan += time.perf_counter() - t0
@@ -674,19 +716,28 @@ class IndexTTS:
         if pending:
             times.gpt_gen += time.perf_counter() - t0
         t0 = time.perf_counter()
-        lat_list = self._latents_batch(conds, lat_rows)
+        if lat_rows:
+            lat_dev, lens, rowmap = self._latents_batch_device(conds,
+                                                               lat_rows)
+            # lat-row index per sentence id (rowmap[k] indexes lat_rows,
+            # whose entries were appended alongside sent_ids)
+            row_of_sent = {sent_ids[rowmap[k]]: k
+                           for k in range(len(lat_rows))}
+        else:
+            row_of_sent = {}
         times.gpt_forward += time.perf_counter() - t0
-        latents_by_sent: Dict[int, np.ndarray] = dict(zip(sent_ids, lat_list))
 
         outs: List[Tuple[int, np.ndarray]] = []
         for ti in range(len(texts)):
-            lats = [latents_by_sent[si] for si in range(len(flat_sents))
-                    if owners[si] == ti and si in latents_by_sent]
-            if not lats:
+            order = np.asarray([row_of_sent[si] for si in range(len(flat_sents))
+                                if owners[si] == ti and si in row_of_sent],
+                               np.int64)
+            if order.size == 0:
                 outs.append((sr, np.zeros((0, 1), np.int16)))
                 continue
             t0 = time.perf_counter()
-            wav = self.vocoder(np.concatenate(lats, axis=0), spk=spk)
+            wav = self.vocoder.stream_device(lat_dev, lens, order=order,
+                                             spk=spk)
             times.bigvgan += time.perf_counter() - t0
             wav = np.clip(wav * 32767.0, -32767.0, 32767.0).astype(np.int16)
             outs.append((sr, wav[:, None]))

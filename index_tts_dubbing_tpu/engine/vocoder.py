@@ -299,6 +299,27 @@ def _vocode_window_cmajor(params: Dict[str, Any], cfg: BigVGANConfig,
     return jnp.tanh(x)[:, 0, :]
 
 
+@partial(jax.jit, static_argnames=("cfg", "layout", "use_pallas",
+                                   "fuse_resblocks"))
+def _vocode_window_gather(params: Dict[str, Any], cfg: BigVGANConfig,
+                          lat: jnp.ndarray, idx: jnp.ndarray,
+                          spk: jnp.ndarray, layout: str,
+                          use_pallas: bool, fuse_resblocks: bool
+                          ) -> jnp.ndarray:
+    """Device-resident window assembly + vocode: gather window frames
+    straight out of the (rows, MB, C) latent-pass output (``idx`` (NB, full)
+    indexes the flattened (rows·MB, C) stream), then run the window batch.
+    Replaces the host round-trip (download latents → stitch → re-upload
+    windows) with one small int32 index upload."""
+    flat = lat.reshape(-1, lat.shape[-1])
+    windows = jnp.take(flat, idx, axis=0)       # (NB, full, C)
+    if layout == "cmajor":
+        return _vocode_window_cmajor(params, cfg, windows, spk,
+                                     use_pallas=use_pallas,
+                                     fuse_resblocks=fuse_resblocks)
+    return _vocode_window(params, cfg, windows, spk)
+
+
 @partial(jax.jit, static_argnames=())
 def speaker_embedding(params: Dict[str, Any], mel_ref: jnp.ndarray) -> jnp.ndarray:
     return ecapa.forward(params["speaker_encoder"], mel_ref)
@@ -391,37 +412,101 @@ class WindowedVocoder:
                                                 self.compute_dtype),
                                     spk))[0].astype(np.float32)
             return wav
-        out = np.empty(t * up, np.float32)
-        # collect aligned windows, then vocode them in batched calls
-        wins = []   # (start, end, win_lo)
-        start = 0
-        while start < t:
-            end = min(start + w, t)
-            win_lo = min(max(0, start - h), t - full)
-            wins.append((start, end, win_lo))
-            start = end
-        # split the window list into power-of-two batches (largest ≤
-        # max_batch first): every call exactly fills its compiled shape, so
-        # no padded rows are ever computed (17 windows → 16 + 1, not a
-        # padded 32-batch). All batches are DISPATCHED before any result is
-        # collected — jax dispatch is async, so batch k+1's upload/compute
-        # overlaps batch k's download instead of serialising on np.asarray.
+        # collect aligned windows, then vocode them in batched calls; every
+        # batch is DISPATCHED before any result is collected — jax dispatch
+        # is async, so batch k+1's upload/compute overlaps batch k's
+        # download instead of serialising on np.asarray.
         chunks = []
-        c0 = 0
-        while c0 < len(wins):
-            rem = len(wins) - c0
-            n = min(self.max_batch, 1 << (rem.bit_length() - 1))
-            chunk = wins[c0: c0 + n]
-            c0 += n
+        for chunk in self._window_batches(self._window_list(t)):
+            n = len(chunk)
             lat = np.empty((n, full, latent.shape[1]), np.float32)
             for i, (_, _, lo) in enumerate(chunk):
                 lat[i] = latent[lo: lo + full]
             dev = vocode(self.params, self.cfg,
                          jnp.asarray(lat, self.compute_dtype), spk)
             chunks.append((chunk, dev))
+        return self._collect(t, chunks)
+
+    # -- shared window-plan helpers ------------------------------------
+    def _window_list(self, t: int):
+        w, h = self.window, self.halo
+        full = w + 2 * h
+        wins = []   # (start, end, win_lo)
+        start = 0
+        while start < t:
+            end = min(start + w, t)
+            wins.append((start, end, min(max(0, start - h), t - full)))
+            start = end
+        return wins
+
+    def _window_batches(self, wins):
+        """Power-of-two batches (largest ≤ max_batch first): every call
+        exactly fills its compiled shape, so no padded rows are ever
+        computed (17 windows → 16 + 1, not a padded 32-batch)."""
+        c0 = 0
+        while c0 < len(wins):
+            rem = len(wins) - c0
+            n = min(self.max_batch, 1 << (rem.bit_length() - 1))
+            yield wins[c0: c0 + n]
+            c0 += n
+
+    def _collect(self, t: int, chunks) -> np.ndarray:
+        up = self.upsample
+        out = np.empty(t * up, np.float32)
         for chunk, dev in chunks:
             wavs = np.asarray(dev).astype(np.float32)
             for i, (s, e, lo) in enumerate(chunk):
                 off = s - lo
                 out[s * up: e * up] = wavs[i, off * up: (off + e - s) * up]
         return out
+
+    def stream_device(self, lat, lens, order=None,
+                      spk: Optional[jnp.ndarray] = None,
+                      mel_ref: Optional[np.ndarray] = None) -> np.ndarray:
+        """Vocode a latent stream that LIVES ON DEVICE — no host round-trip.
+
+        lat: (rows, MB, C) device array (the bucketed latent-pass output,
+        rows padded to MB with junk beyond each row's length); lens: (rows,)
+        host ints = real frames per row; order: lat-row indices in stream
+        order (default: all rows in order). The virtual stream is
+        concat(lat[order[s], :lens[order[s]]]); windows are assembled by an
+        on-device gather (one small int32 index upload per batch) and are
+        bit-identical to the host path's slices, so outputs equal
+        ``__call__`` on the stitched stream exactly.
+
+        Compile note: programs key on (rows, MB, window-batch) — bounded in
+        serving where workload shapes repeat (and primed by prime_cache's
+        buckets)."""
+        lens = np.asarray(lens, np.int64)
+        order = (np.arange(lens.size) if order is None
+                 else np.asarray(order, np.int64))
+        slens = lens[order]
+        bounds = np.concatenate([[0], np.cumsum(slens)])
+        t = int(bounds[-1])
+        if t == 0:
+            return np.zeros(0, np.float32)
+        if spk is None:
+            spk = self.speaker_embedding(jnp.asarray(mel_ref))
+        mb = lat.shape[1]
+        if lat.dtype != self.compute_dtype:
+            lat = lat.astype(self.compute_dtype)
+        # flatmap[p] = row-major index into lat.reshape(rows*MB, C) of
+        # stream position p
+        rows = np.repeat(order, slens)
+        cols = np.arange(t) - np.repeat(bounds[:-1], slens)
+        flatmap = (rows * mb + cols).astype(np.int32)
+        vkw = dict(layout=self.layout, use_pallas=self.use_pallas,
+                   fuse_resblocks=self.fuse_resblocks)
+        full = self.window + 2 * self.halo
+        if t <= full:
+            dev = _vocode_window_gather(self.params, self.cfg, lat,
+                                        jnp.asarray(flatmap[None]), spk,
+                                        **vkw)
+            return np.asarray(dev)[0].astype(np.float32)
+        chunks = []
+        for chunk in self._window_batches(self._window_list(t)):
+            idx = np.stack([flatmap[lo: lo + full] for (_, _, lo) in chunk])
+            dev = _vocode_window_gather(self.params, self.cfg, lat,
+                                        jnp.asarray(idx), spk, **vkw)
+            chunks.append((chunk, dev))
+        return self._collect(t, chunks)

@@ -63,3 +63,31 @@ def test_cmajor_driver_matches_ref_driver(rng):
     b = WindowedVocoder(params, cfg, window=16, halo=16, layout="cmajor",
                         use_pallas=False)(latent, mel_ref)
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_stream_device_equals_host_path(rng):
+    """stream_device (on-device gather over a (rows, MB, C) latent tensor)
+    must be BIT-equal to __call__ on the host-stitched stream: identical
+    window contents reach the identical vocode function."""
+    import jax.numpy as jnp
+    cfg = bigvgan.BigVGANConfig(upsample_initial_channel=128, gpt_dim=16)
+    params = bigvgan.init(jax.random.PRNGKey(7), cfg)
+    mel_ref = rng.standard_normal((1, 50, 100)).astype(np.float32)
+
+    mb = 32
+    lens = np.array([20, 32, 7], np.int64)
+    lat = rng.standard_normal((3, mb, 16)).astype(np.float32) * 0.3
+    order = np.array([2, 0, 1])
+    stream = np.concatenate([lat[r, : lens[r]] for r in order], axis=0)
+
+    voc = WindowedVocoder(params, cfg, window=16, halo=16)
+    a = voc(stream, mel_ref)
+    b = voc.stream_device(jnp.asarray(lat), lens, order=order,
+                          mel_ref=mel_ref)
+    np.testing.assert_array_equal(a, b)
+
+    # short-stream path (t <= window + 2*halo)
+    a1 = voc(lat[1, :9], mel_ref)
+    b1 = voc.stream_device(jnp.asarray(lat), np.array([0, 9, 0]),
+                           order=np.array([1]), mel_ref=mel_ref)
+    np.testing.assert_array_equal(a1, b1)
