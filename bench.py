@@ -80,14 +80,12 @@ def main():
             total_codes += n
             lat_rows.append((rows[i], row_codes[0], n))
         t0 = time.perf_counter()
-        lat_dev, lens, rowmap = engine._latents_batch_device(conds, lat_rows)
+        lat_dev, lens, inv = engine._latents_batch_device(conds, lat_rows)
         t_latent = time.perf_counter() - t0
         # one device-resident windowed vocode over the stitched latent
         # stream (the infer_fast/infer_batch production path: the latents
         # never round-trip through the host)
         t0 = time.perf_counter()
-        inv = np.empty(len(lat_rows), np.int64)
-        inv[rowmap] = np.arange(len(lat_rows))
         wav = engine.vocoder.stream_device(lat_dev, lens, order=inv, spk=spk)
         t_vocode = time.perf_counter() - t0
         wav_samples = wav.size

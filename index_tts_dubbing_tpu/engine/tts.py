@@ -462,48 +462,21 @@ class IndexTTS:
     def _latents_batch(self, conds, rows) -> List[np.ndarray]:
         """Latent passes for many (text_tokens, codes, code_len) rows,
         grouped by bucket shape so each group is ONE batched forward (the
-        reference runs batch-size-1 per row, infer.py:430-435)."""
-        groups: Dict[Tuple[int, int], List[int]] = {}
-        dims = []
-        for i, (text_tokens, codes, code_len) in enumerate(rows):
-            lb, mb = self._bucket_dims(text_tokens.size, code_len)
-            groups.setdefault((lb, mb), []).append(i)
-            dims.append((lb, mb))
-        out: List[Optional[np.ndarray]] = [None] * len(rows)
-        # dispatch every group's forward before collecting any result (async
-        # dispatch: group k+1 computes while group k downloads)
-        pending = []
-        for (lb, mb), idxs in groups.items():
-            g = len(idxs)
-            text = np.full((g, lb), self.gpt_cfg.stop_text_token, np.int32)
-            cpad = np.full((g, mb), self.stop_mel_token, np.int32)
-            tlens = np.zeros(g, np.int64)
-            clens = np.zeros(g, np.int64)
-            for gi, i in enumerate(idxs):
-                text_tokens, codes, code_len = rows[i]
-                text[gi, :text_tokens.size] = text_tokens
-                cpad[gi, :code_len] = codes[:code_len]
-                tlens[gi] = text_tokens.size
-                clens[gi] = code_len
-            cnds = conds
-            if cnds.shape[0] == 1 and g > 1:
-                cnds = jnp.broadcast_to(cnds, (g,) + cnds.shape[1:])
-            dev = _latent_jit(
-                self.params["gpt"], self.gpt_cfg, cnds, jnp.asarray(text),
-                jnp.asarray(tlens), jnp.asarray(cpad), jnp.asarray(clens))
-            pending.append((idxs, clens, dev))
-        for idxs, clens, dev in pending:
-            lat = np.asarray(dev)
-            for gi, i in enumerate(idxs):
-                out[i] = lat[gi, : int(clens[gi])]
-        return out  # type: ignore[return-value]
+        reference runs batch-size-1 per row, infer.py:430-435). Host-side
+        result; the device-resident variant below feeds the vocoder."""
+        lat, lens, inv = self._latents_batch_device(conds, rows,
+                                                    bucket_rows=False)
+        latnp = np.asarray(lat)
+        return [latnp[inv[i], : int(lens[inv[i]])] for i in range(len(rows))]
 
-    def _latents_batch_device(self, conds, rows):
-        """Like ``_latents_batch`` but the latents STAY ON DEVICE: returns
-        (lat (n, MB, C) device array, lens (n,) np, rowmap (n,) np) where
-        lat row k holds input row rowmap[k] padded to the common code bucket
-        MB. Feeds WindowedVocoder.stream_device — the stitched stream never
-        round-trips through the host."""
+    def _latents_batch_device(self, conds, rows, bucket_rows: bool = True):
+        """Latent passes whose outputs STAY ON DEVICE: returns
+        (lat (R, MB, C) device array, lens (n,) np, inv (n,) np) where input
+        row i lives in lat row inv[i], padded to the common code bucket MB.
+        With bucket_rows, R is n padded to the next power of two (pad rows
+        are junk and never gathered) so the downstream vocode-gather program
+        keys on a bounded shape set. Feeds WindowedVocoder.stream_device —
+        the stitched stream never round-trips through the host."""
         groups: Dict[Tuple[int, int], List[int]] = {}
         for i, (text_tokens, codes, code_len) in enumerate(rows):
             lb, mb = self._bucket_dims(text_tokens.size, code_len)
@@ -533,9 +506,16 @@ class IndexTTS:
             pending.append((idxs, clens, dev))
         parts = [dev for _, _, dev in pending]
         lat = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        n = len(rows)
+        if bucket_rows:
+            rb = 1 << max(0, n - 1).bit_length() if n > 1 else 1
+            if rb != n:
+                lat = jnp.pad(lat, ((0, rb - n), (0, 0), (0, 0)))
         rowmap = np.concatenate([idxs for idxs, _, _ in pending])
         lens = np.concatenate([clens for _, clens, _ in pending])
-        return lat, lens, rowmap
+        inv = np.empty(n, np.int64)
+        inv[rowmap] = np.arange(n)
+        return lat, lens, inv
 
     # ------------------------------------------------------------------
     def _set_gr_progress(self, value, desc):
@@ -624,15 +604,12 @@ class IndexTTS:
         times.gpt_gen += time.perf_counter() - t0
         t0 = time.perf_counter()
         if lat_rows:
-            lat_dev, lens, rowmap = self._latents_batch_device(conds,
-                                                               lat_rows)
+            lat_dev, lens, inv = self._latents_batch_device(conds, lat_rows)
         times.gpt_forward += time.perf_counter() - t0
         # stream order (by sentence idx) as lat-row indices; the stitched
         # stream is assembled ON DEVICE by the vocoder's gather
         t0 = time.perf_counter()
         if lat_rows:
-            inv = np.empty(len(lat_rows), np.int64)
-            inv[rowmap] = np.arange(len(lat_rows))
             order = inv[np.argsort(all_idx)]
             wav = self.vocoder.stream_device(lat_dev, lens, order=order,
                                              spk=spk)
@@ -717,12 +694,10 @@ class IndexTTS:
             times.gpt_gen += time.perf_counter() - t0
         t0 = time.perf_counter()
         if lat_rows:
-            lat_dev, lens, rowmap = self._latents_batch_device(conds,
-                                                               lat_rows)
-            # lat-row index per sentence id (rowmap[k] indexes lat_rows,
-            # whose entries were appended alongside sent_ids)
-            row_of_sent = {sent_ids[rowmap[k]]: k
-                           for k in range(len(lat_rows))}
+            lat_dev, lens, inv = self._latents_batch_device(conds, lat_rows)
+            # lat-row index per sentence id (lat_rows entries were appended
+            # alongside sent_ids; input row i lives in device row inv[i])
+            row_of_sent = {sent_ids[i]: inv[i] for i in range(len(lat_rows))}
         else:
             row_of_sent = {}
         times.gpt_forward += time.perf_counter() - t0

@@ -250,13 +250,17 @@ def _act_cm(cfg: BigVGANConfig, p: Dict[str, Any], x: jnp.ndarray,
 def _vocode_window_cmajor(params: Dict[str, Any], cfg: BigVGANConfig,
                           latent: jnp.ndarray, spk: jnp.ndarray,
                           use_pallas: bool = True,
-                          fuse_resblocks: bool = False) -> jnp.ndarray:
+                          fuse_resblocks: bool = False,
+                          packed=None) -> jnp.ndarray:
     """One window (B, W, gpt_dim) + speaker embedding → wav (B, W·1024),
     computed entirely in the (B, C, T) layout.
 
     fuse_resblocks: run each whole AMP resblock of the C ≤ 128 stages as ONE
     Pallas kernel (ops/pallas_resblock.py) — those stages are overhead-bound,
-    not FLOP-bound (571 of ~709 ms at B=16·w112 before fusion)."""
+    not FLOP-bound (571 of ~709 ms at B=16·w112 before fusion). ``packed``:
+    the pre-packed kernel weights from ``pack_fused_resblocks`` (computed
+    once at vocoder init); None re-packs inline on every call (tests/direct
+    callers)."""
     from index_tts_dubbing_tpu.ops.pallas_resblock import (
         fused_resblock_cmajor, pack_resblock)
 
@@ -279,7 +283,10 @@ def _vocode_window_cmajor(params: Dict[str, Any], cfg: BigVGANConfig,
             kk = cfg.resblock_kernel_sizes[j]
             dils = tuple(cfg.resblock_dilation_sizes[j])
             if fuse_resblocks and x.shape[1] <= 128:
-                w1, b1, w2, b2, acts = pack_resblock(rb, cfg, x.dtype)
+                if packed is not None:
+                    w1, b1, w2, b2, acts = packed[i * cfg.num_kernels + j]
+                else:
+                    w1, b1, w2, b2, acts = pack_resblock(rb, cfg, x.dtype)
                 y = fused_resblock_cmajor(x, w1, b1, w2, b2, acts, kk, dils)
             else:
                 y = x
@@ -299,13 +306,30 @@ def _vocode_window_cmajor(params: Dict[str, Any], cfg: BigVGANConfig,
     return jnp.tanh(x)[:, 0, :]
 
 
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
+def pack_fused_resblocks(params: Dict[str, Any], cfg: BigVGANConfig, dtype):
+    """One-time packing of every C ≤ 128 stage's resblock weights into the
+    fused kernel's layout: {flat resblock index: (w1, b1, w2, b2, acts)}.
+    Computed at vocoder init so the per-window jits receive ready-packed
+    operands instead of re-padding/stacking ~MBs of weights every call."""
+    from index_tts_dubbing_tpu.ops.pallas_resblock import pack_resblock
+    packed = {}
+    for i in range(cfg.num_upsamples):
+        if cfg.stage_channels(i) > 128:
+            continue
+        for j in range(cfg.num_kernels):
+            k = i * cfg.num_kernels + j
+            packed[k] = pack_resblock(params["resblocks"][k], cfg, dtype)
+    return packed
+
+
 @partial(jax.jit, static_argnames=("cfg", "layout", "use_pallas",
                                    "fuse_resblocks"))
 def _vocode_window_gather(params: Dict[str, Any], cfg: BigVGANConfig,
                           lat: jnp.ndarray, idx: jnp.ndarray,
                           spk: jnp.ndarray, layout: str,
-                          use_pallas: bool, fuse_resblocks: bool
-                          ) -> jnp.ndarray:
+                          use_pallas: bool, fuse_resblocks: bool,
+                          packed=None) -> jnp.ndarray:
     """Device-resident window assembly + vocode: gather window frames
     straight out of the (rows, MB, C) latent-pass output (``idx`` (NB, full)
     indexes the flattened (rows·MB, C) stream), then run the window batch.
@@ -316,7 +340,8 @@ def _vocode_window_gather(params: Dict[str, Any], cfg: BigVGANConfig,
     if layout == "cmajor":
         return _vocode_window_cmajor(params, cfg, windows, spk,
                                      use_pallas=use_pallas,
-                                     fuse_resblocks=fuse_resblocks)
+                                     fuse_resblocks=fuse_resblocks,
+                                     packed=packed)
     return _vocode_window(params, cfg, windows, spk)
 
 
@@ -366,6 +391,7 @@ class WindowedVocoder:
         if fuse_resblocks is None:
             fuse_resblocks = use_pallas and jax.default_backend() == "tpu"
         self.fuse_resblocks = fuse_resblocks
+        self._packed = None  # filled lazily: one device-resident packing
         # bf16 compute matches the reference's fp16-autocast vocoder
         # (infer.py:613) and is ~8x MXU throughput vs fp32 on TPU; fp32 is
         # the parity/test default.
@@ -374,6 +400,15 @@ class WindowedVocoder:
 
     def speaker_embedding(self, mel_ref: jnp.ndarray) -> jnp.ndarray:
         return speaker_embedding(self.params, mel_ref)
+
+    def _packed_weights(self):
+        """Device-resident fused-kernel weight packing, computed once."""
+        if not (self.layout == "cmajor" and self.fuse_resblocks):
+            return None
+        if self._packed is None:
+            self._packed = pack_fused_resblocks(self.params, self.cfg,
+                                                self.compute_dtype)
+        return self._packed
 
     def __call__(self, latent: np.ndarray, mel_ref: Optional[np.ndarray] = None,
                  spk: Optional[jnp.ndarray] = None) -> np.ndarray:
@@ -401,7 +436,8 @@ class WindowedVocoder:
             spk = self.speaker_embedding(jnp.asarray(mel_ref))
         if self.layout == "cmajor":
             vocode = partial(_vocode_window_cmajor, use_pallas=self.use_pallas,
-                             fuse_resblocks=self.fuse_resblocks)
+                             fuse_resblocks=self.fuse_resblocks,
+                             packed=self._packed_weights())
         else:
             vocode = _vocode_window
         w, h, up = self.window, self.halo, self.upsample
@@ -474,9 +510,11 @@ class WindowedVocoder:
         bit-identical to the host path's slices, so outputs equal
         ``__call__`` on the stitched stream exactly.
 
-        Compile note: programs key on (rows, MB, window-batch) — bounded in
-        serving where workload shapes repeat (and primed by prime_cache's
-        buckets)."""
+        Compile note: programs key on (rows, MB, window-batch); the engine
+        pads rows to a power of two and MB to CODE_BUCKETS, so the key space
+        is the bounded product primed by tools/prime_cache.py. Streams
+        shorter than one window fall back to the exact-shape host path
+        (keyed on t, as __call__ always was)."""
         lens = np.asarray(lens, np.int64)
         order = (np.arange(lens.size) if order is None
                  else np.asarray(order, np.int64))
@@ -487,6 +525,16 @@ class WindowedVocoder:
             return np.zeros(0, np.float32)
         if spk is None:
             spk = self.speaker_embedding(jnp.asarray(mel_ref))
+        full = self.window + 2 * self.halo
+        if t <= full:
+            # short stream: the exact-length forward (identical padding
+            # semantics to the full-sequence computation) — download the few
+            # rows and take the host path; a gather-into-full window would
+            # change the right-edge padding position.
+            latnp = np.asarray(lat)
+            stream = np.concatenate(
+                [latnp[r, : slens[i]] for i, r in enumerate(order)], axis=0)
+            return self(stream.astype(np.float32), spk=spk)
         mb = lat.shape[1]
         if lat.dtype != self.compute_dtype:
             lat = lat.astype(self.compute_dtype)
@@ -496,13 +544,8 @@ class WindowedVocoder:
         cols = np.arange(t) - np.repeat(bounds[:-1], slens)
         flatmap = (rows * mb + cols).astype(np.int32)
         vkw = dict(layout=self.layout, use_pallas=self.use_pallas,
-                   fuse_resblocks=self.fuse_resblocks)
-        full = self.window + 2 * self.halo
-        if t <= full:
-            dev = _vocode_window_gather(self.params, self.cfg, lat,
-                                        jnp.asarray(flatmap[None]), spk,
-                                        **vkw)
-            return np.asarray(dev)[0].astype(np.float32)
+                   fuse_resblocks=self.fuse_resblocks,
+                   packed=self._packed_weights())
         chunks = []
         for chunk in self._window_batches(self._window_list(t)):
             idx = np.stack([flatmap[lo: lo + full] for (_, _, lo) in chunk])

@@ -184,7 +184,7 @@ def fused_resblock_cmajor(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     folded (exp'd) by the caller. Returns x's dtype.
     """
     b, c, t = x.shape
-    assert c <= 256, "fused resblock: VMEM budget sized for C <= 256"
+    assert c <= 128, "fused resblock requires C <= 128 (one sublane tile)"
     tt = _pick_tile(t, c, k, np.dtype(x.dtype).itemsize)
     t_pad = -(-t // tt) * tt
     xp = jnp.concatenate(

@@ -103,20 +103,39 @@ def main(argv=None):
     print("priming vocoder window batches...", flush=True)
     voc = engine.vocoder
     full = voc.window + 2 * voc.halo
+    packed = voc._packed_weights()
+    packed_sds = sds_tree(packed) if packed is not None else None
+    spk = jax.ShapeDtypeStruct(
+        (1, 1, engine.bigvgan_cfg.speaker_embedding_dim), voc.compute_dtype)
     for nb in voc.WINDOW_COUNT_BUCKETS:
         lat = jax.ShapeDtypeStruct((nb, full, engine.bigvgan_cfg.gpt_dim),
                                    voc.compute_dtype)
-        spk = jax.ShapeDtypeStruct(
-            (1, 1, engine.bigvgan_cfg.speaker_embedding_dim),
-            voc.compute_dtype)
         if voc.layout == "cmajor":
             prime(f"vocoder cmajor NB={nb}", voc_mod._vocode_window_cmajor,
                   bv_sds, engine.bigvgan_cfg, lat, spk,
                   use_pallas=voc.use_pallas,
-                  fuse_resblocks=voc.fuse_resblocks)
+                  fuse_resblocks=voc.fuse_resblocks, packed=packed_sds)
         else:
             prime(f"vocoder ref NB={nb}", voc_mod._vocode_window,
                   bv_sds, engine.bigvgan_cfg, lat, spk)
+
+    # the production serving path (infer_fast/infer_batch/bench): windows
+    # gathered on device from the (rows, MB, C) latent tensor — rows are
+    # power-of-two bucketed by the engine, MB ranges over CODE_BUCKETS
+    print("priming device-resident stream vocode (gather)...", flush=True)
+    rows_buckets = (4, 16) if not args.all else (1, 2, 4, 8, 16, 32)
+    for rows in rows_buckets:
+        for cb in code_buckets:
+            cb = min(cb, cfg.max_mel_tokens)
+            lat = jax.ShapeDtypeStruct((rows, cb, engine.bigvgan_cfg.gpt_dim),
+                                       voc.compute_dtype)
+            for nb in voc.WINDOW_COUNT_BUCKETS:
+                idx = jax.ShapeDtypeStruct((nb, full), np.int32)
+                prime(f"stream gather rows={rows} code={cb} NB={nb}",
+                      voc_mod._vocode_window_gather,
+                      bv_sds, engine.bigvgan_cfg, lat, idx, spk,
+                      layout=voc.layout, use_pallas=voc.use_pallas,
+                      fuse_resblocks=voc.fuse_resblocks, packed=packed_sds)
 
     print(f"primed {done} programs in {time.perf_counter()-t_all:.0f}s")
 
