@@ -326,11 +326,13 @@ def _warp_scores(scores: jnp.ndarray, sc: SamplingConfig,
     return scores
 
 
-@partial(jax.jit, static_argnames=("cfg", "sc", "num_beams", "stochastic"))
+@partial(jax.jit, static_argnames=("cfg", "sc", "num_beams", "stochastic",
+                                   "mesh"))
 def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                  prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
                  rng: jax.Array, num_beams: int, length_penalty: float,
-                 stochastic: bool) -> GenerateResult:
+                 stochastic: bool, mesh: Optional[Mesh] = None
+                 ) -> GenerateResult:
     b, s0, c = prefix_emb.shape
     nb = num_beams
     bn = b * nb
@@ -340,12 +342,18 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     vocab = cfg.number_mel_codes
     NEG = jnp.float32(-1e9)
     lp = jnp.float32(length_penalty)
+    L, H, D = cfg.layers, cfg.heads, cfg.head_dim
+    cs = _mk_constrain(mesh)
+    prefix_emb = cs(prefix_emb, "data")
 
     cache = gpt_model.init_cache(cfg, b, s_total, dtype=prefix_emb.dtype)
     h, cache = gpt_model.trunk_prefill(params, cfg, prefix_emb, pad_keep,
                                        cache)
-    cache = gpt_model.KVCache(jnp.repeat(cache.k, nb, axis=1),
-                              jnp.repeat(cache.v, nb, axis=1))
+    # beams of one row are CONTIGUOUS (row-major (b, nb)): under a mesh the
+    # bn axis shards over ``data`` and every beam group stays shard-local.
+    cache = gpt_model.KVCache(
+        cs(jnp.repeat(cache.k, nb, axis=1), None, "data", "model"),
+        cs(jnp.repeat(cache.v, nb, axis=1), None, "data", "model"))
     pad_keep_n = jnp.repeat(pad_keep, nb, axis=0)
     base_keep = jnp.concatenate(
         [pad_keep_n, jnp.ones((bn, max_steps), bool)], axis=1)
@@ -353,6 +361,42 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     seen0 = jnp.zeros((bn, vocab), bool)
     seen0 = seen0.at[:, sc.fake_prefix_id].set(True)
     seen0 = seen0.at[:, cfg.start_mel_token].set(True)
+    seen0 = cs(seen0, "data")
+
+    # --- blocked beam-history reorder --------------------------------------
+    # The HF `_reorder_cache` equivalent (gpt/model.py:194-207) gathers the
+    # FULL cache per step. Here only what can differ is touched: the prefix
+    # region [0, s0) is identical across a row's beams (it was repeated from
+    # one prefill) and slots beyond the current step are unwritten, so the
+    # reorder runs per SB-slot block of the generated region, each guarded by
+    # lax.cond on (block started) & (the permutation is not the identity).
+    # Traffic per step is O(j) instead of O(s_total) — and zero on the
+    # (common) steps where every beam survives in place.
+    SB = 128
+    n_blocks = (max_steps + SB - 1) // SB
+
+    def reorder_cache(cache, src, j):
+        idx = src[None, :, :, None, None, None]     # (1, b, nb, 1, 1, 1)
+        identity = jnp.all(src == jnp.arange(nb)[None, :])
+
+        def do_block(arr, lo, width):
+            blk = jax.lax.slice_in_dim(arr, lo, lo + width, axis=3)
+            g = blk.reshape(L, b, nb, H, width, D)
+            g = jnp.take_along_axis(g, idx, axis=2)
+            return jax.lax.dynamic_update_slice_in_dim(
+                arr, g.reshape(L, bn, H, width, D), lo, axis=3)
+
+        k, v = cache
+        for m in range(n_blocks):
+            lo = s0 + m * SB
+            width = min(SB, max_steps - m * SB)
+            pred = (jnp.int32(m * SB) <= j - 1) & ~identity
+            k = jax.lax.cond(pred,
+                             lambda a: do_block(a, lo, width), lambda a: a, k)
+            v = jax.lax.cond(pred,
+                             lambda a: do_block(a, lo, width), lambda a: a, v)
+        return gpt_model.KVCache(cs(k, None, "data", "model"),
+                                 cs(v, None, "data", "model"))
 
     def penalised_logp(h_, seen):
         logits = gpt_model.mel_logits_from_hidden(params, h_).astype(
@@ -403,8 +447,11 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         eos_cand = is_eos & (rank < nb) & (~done[:, None])
         cand_norm = jnp.where(eos_cand,
                               cand / jnp.power(gen_len, lp), -jnp.inf)
-        flat_src = (jnp.arange(b)[:, None] * nb + src_beam)     # (b, n_cand)
-        cand_tok_rows = tokens[flat_src]                        # (b,n_cand,S)
+        # gathers run on (b, nb, ...) views with per-row indices so they stay
+        # shard-local under a ``data``-sharded mesh (beam groups never cross
+        # a shard boundary)
+        cand_tok_rows = jnp.take_along_axis(
+            tokens.reshape(b, nb, -1), src_beam[..., None], axis=1)
         all_norm = jnp.concatenate([pool_norm, cand_norm], axis=1)
         all_len = jnp.concatenate(
             [pool_len, jnp.broadcast_to(jnp.int32(j), (b, n_cand))], axis=1)
@@ -427,11 +474,13 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                             new_tok).reshape(bn)
         keep_self = jnp.broadcast_to(jnp.arange(nb)[None, :], (b, nb))
         new_src = jnp.where(done[:, None], keep_self, new_src)
-        flat_new_src = (jnp.arange(b)[:, None] * nb + new_src).reshape(bn)
-        tokens = jnp.take(tokens, flat_new_src, axis=0)
-        seen = jnp.take(seen, flat_new_src, axis=0)
-        cache = gpt_model.KVCache(jnp.take(cache.k, flat_new_src, axis=1),
-                                  jnp.take(cache.v, flat_new_src, axis=1))
+        tokens = jnp.take_along_axis(
+            tokens.reshape(b, nb, -1), new_src[..., None], axis=1
+        ).reshape(bn, -1)
+        seen = jnp.take_along_axis(
+            seen.reshape(b, nb, -1), new_src[..., None], axis=1
+        ).reshape(bn, -1)
+        cache = reorder_cache(cache, new_src, j)
         tokens = jnp.where(done[jnp.arange(bn) // nb, None], tokens,
                            tokens.at[:, j].set(new_tok))
         seen = seen.at[jnp.arange(bn), new_tok].set(True)
@@ -515,23 +564,24 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
 
 def generate_beam(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                   prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
-                  num_beams: int = 3,
-                  length_penalty: float = 0.0) -> GenerateResult:
+                  num_beams: int = 3, length_penalty: float = 0.0,
+                  mesh: Optional[Mesh] = None) -> GenerateResult:
     """Deterministic beam search (HF beam_search: do_sample=False with
     num_beams>1 at infer.py:326-334). Returns the best hypothesis per row."""
     return _beam_decode(params, cfg, sc, prefix_emb, pad_keep,
                         jax.random.PRNGKey(0), num_beams, length_penalty,
-                        stochastic=False)
+                        stochastic=False, mesh=mesh)
 
 
 def generate_beam_sample(params: Dict[str, Any], cfg: GPTConfig,
                          sc: SamplingConfig, prefix_emb: jnp.ndarray,
                          pad_keep: jnp.ndarray, rng: jax.Array,
-                         num_beams: int = 3,
-                         length_penalty: float = 0.0) -> GenerateResult:
+                         num_beams: int = 3, length_penalty: float = 0.0,
+                         mesh: Optional[Mesh] = None) -> GenerateResult:
     """Stochastic beam sampling (HF beam_sample) — the reference's DEFAULT
     decode mode (do_sample=True, num_beams=3; infer.py:326-334 →
     gpt/model.py:698-703). Candidates are drawn without replacement via
     Gumbel top-k, distributionally identical to torch.multinomial."""
     return _beam_decode(params, cfg, sc, prefix_emb, pad_keep, rng,
-                        num_beams, length_penalty, stochastic=True)
+                        num_beams, length_penalty, stochastic=True,
+                        mesh=mesh)

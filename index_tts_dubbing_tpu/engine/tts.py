@@ -433,12 +433,12 @@ class IndexTTS:
                 res = decode_mod.generate_beam_sample(
                     self.params["gpt"], self.gpt_cfg, sc, emb, keep,
                     self._next_key(), num_beams=self._num_beams,
-                    length_penalty=self._length_penalty)
+                    length_penalty=self._length_penalty, mesh=self.mesh)
             else:
                 res = decode_mod.generate_beam(
                     self.params["gpt"], self.gpt_cfg, sc, emb, keep,
                     num_beams=self._num_beams,
-                    length_penalty=self._length_penalty)
+                    length_penalty=self._length_penalty, mesh=self.mesh)
         else:
             res = decode_mod.generate(self.params["gpt"], self.gpt_cfg, sc,
                                       emb, keep, self._next_key(),
@@ -526,11 +526,13 @@ class IndexTTS:
               max_text_tokens_per_sentence=120, **generation_kwargs):
         """Sequential per-sentence synthesis (reference infer, infer.py:500)."""
         start_time = time.perf_counter()
+        self._set_gr_progress(0, "start inference...")
         times = StageTimes()
         cond_mel = self._cond_mel(audio_prompt)
         conds = self._conditioning(cond_mel)
         sc = self._sampling_config(generation_kwargs)
 
+        self._set_gr_progress(0.1, "text processing...")
         tokens = self.tokenizer.tokenize(text)
         sentences = self.tokenizer.split_sentences(
             tokens, max_text_tokens_per_sentence)
@@ -540,7 +542,11 @@ class IndexTTS:
         wavs = []
         spk = self.vocoder.speaker_embedding(
             jnp.asarray(cond_mel.transpose(0, 2, 1)))
-        for sent in sentences:
+        for si, sent in enumerate(sentences):
+            # per-sentence progress over the 0.2-0.8 band (infer.py:610)
+            self._set_gr_progress(
+                0.2 + 0.6 * si / max(len(sentences), 1),
+                f"gpt inference speech... {si + 1}/{len(sentences)}")
             ids = np.asarray(self.tokenizer.convert_tokens_to_ids(sent),
                              np.int32)
             t0 = time.perf_counter()
@@ -555,6 +561,7 @@ class IndexTTS:
             wav = self.vocoder(latent, spk=spk)
             times.bigvgan += time.perf_counter() - t0
             wavs.append(np.clip(wav * 32767.0, -32767.0, 32767.0))
+        self._set_gr_progress(0.9, "save audio...")
         wav = np.concatenate(wavs) if wavs else np.zeros(0, np.float32)
         times.total = time.perf_counter() - start_time
         times.audio_seconds = wav.size / sr
@@ -566,11 +573,13 @@ class IndexTTS:
                    sentences_bucket_max_size=4, **generation_kwargs):
         """Bucketed batched synthesis (reference infer_fast, infer.py:278)."""
         start_time = time.perf_counter()
+        self._set_gr_progress(0, "start fast inference...")
         times = StageTimes()
         cond_mel = self._cond_mel(audio_prompt)
         conds = self._conditioning(cond_mel)
         sc = self._sampling_config(generation_kwargs)
 
+        self._set_gr_progress(0.1, "text processing...")
         tokens = self.tokenizer.tokenize(text)
         sentences = self.tokenizer.split_sentences(
             tokens, max_text_tokens_per_sentence)
@@ -594,7 +603,10 @@ class IndexTTS:
                 for item in bucket]
             pending.append((bucket, rows,
                             self._decode_batch_async(conds, rows, sc)))
-        for bucket, rows, (res, n_real) in pending:
+        for bi, (bucket, rows, (res, n_real)) in enumerate(pending):
+            self._set_gr_progress(
+                0.2 + 0.3 * bi / max(len(pending), 1),
+                f"gpt inference speech... {bi + 1}/{len(pending)}")
             codes = np.asarray(res.codes)[:n_real]
             for i, item in enumerate(bucket):
                 row_codes, row_lens = remove_long_silence(
@@ -602,12 +614,14 @@ class IndexTTS:
                 all_idx.append(item["idx"])
                 lat_rows.append((rows[i], row_codes[0], int(row_lens[0])))
         times.gpt_gen += time.perf_counter() - t0
+        self._set_gr_progress(0.5, "gpt inference latents...")
         t0 = time.perf_counter()
         if lat_rows:
             lat_dev, lens, inv = self._latents_batch_device(conds, lat_rows)
         times.gpt_forward += time.perf_counter() - t0
         # stream order (by sentence idx) as lat-row indices; the stitched
         # stream is assembled ON DEVICE by the vocoder's gather
+        self._set_gr_progress(0.7, "bigvgan decode...")
         t0 = time.perf_counter()
         if lat_rows:
             order = inv[np.argsort(all_idx)]
@@ -616,6 +630,7 @@ class IndexTTS:
         else:
             wav = np.zeros(0, np.float32)
         times.bigvgan += time.perf_counter() - t0
+        self._set_gr_progress(0.9, "save audio...")
         wav = np.clip(wav * 32767.0, -32767.0, 32767.0)
         times.total = time.perf_counter() - start_time
         times.audio_seconds = wav.size / sr

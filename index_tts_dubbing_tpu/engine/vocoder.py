@@ -323,20 +323,29 @@ def pack_fused_resblocks(params: Dict[str, Any], cfg: BigVGANConfig, dtype):
     return packed
 
 
-@partial(jax.jit, static_argnames=("cfg", "layout", "use_pallas",
-                                   "fuse_resblocks"))
+@jax.jit
+def _gather_windows(lat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Device-resident window assembly: gather window frames straight out of
+    the (rows, MB, C) latent-pass output (``idx`` (NB, full) indexes the
+    flattened (rows·MB, C) stream) → (NB, full, C) windows. Replaces the host
+    round-trip (download latents → stitch → re-upload windows) with one small
+    int32 index upload.
+
+    Deliberately its OWN tiny jit (compiles in ~1 s), so the expensive window
+    vocode program keys only on the NB window-count bucket — not on
+    (rows, MB, NB), which would multiply the cold-compile matrix ~14× (the
+    windows are materialized either way; runtime is unchanged)."""
+    flat = lat.reshape(-1, lat.shape[-1])
+    return jnp.take(flat, idx, axis=0)
+
+
 def _vocode_window_gather(params: Dict[str, Any], cfg: BigVGANConfig,
                           lat: jnp.ndarray, idx: jnp.ndarray,
                           spk: jnp.ndarray, layout: str,
                           use_pallas: bool, fuse_resblocks: bool,
                           packed=None) -> jnp.ndarray:
-    """Device-resident window assembly + vocode: gather window frames
-    straight out of the (rows, MB, C) latent-pass output (``idx`` (NB, full)
-    indexes the flattened (rows·MB, C) stream), then run the window batch.
-    Replaces the host round-trip (download latents → stitch → re-upload
-    windows) with one small int32 index upload."""
-    flat = lat.reshape(-1, lat.shape[-1])
-    windows = jnp.take(flat, idx, axis=0)       # (NB, full, C)
+    """Gather + vocode one window batch (two chained async dispatches)."""
+    windows = _gather_windows(lat, idx)         # (NB, full, C)
     if layout == "cmajor":
         return _vocode_window_cmajor(params, cfg, windows, spk,
                                      use_pallas=use_pallas,

@@ -197,7 +197,7 @@ def fused_resblock_cmajor(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, c, t_pad), x.dtype),
         grid=(b, t_pad // tt),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   vmem, vmem, vmem, vmem, vmem],
         out_specs=pl.BlockSpec((1, c, tt), lambda bi, ti: (bi, 0, ti),
                                memory_space=pltpu.VMEM),

@@ -201,7 +201,7 @@ def fused_anti_alias_snake_cmajor(x: jnp.ndarray, alpha: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, c, t_pad), x.dtype),
         grid=(b, c // ct, t_pad // tt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((ct, 1), lambda bi, ci, ti: (ci, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ct, 1), lambda bi, ci, ti: (ci, 0),
@@ -246,7 +246,7 @@ def fused_anti_alias_snake(x: jnp.ndarray, alpha: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         grid=(b, t // tt, c // ct),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, ct), lambda bi, ti, ci: (0, ci),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ct), lambda bi, ti, ci: (0, ci),

@@ -90,6 +90,11 @@ def zh_number(s: str) -> str:
     return ("负" if neg else "") + txt
 
 
+def _zh_hour(h: int) -> str:
+    """Clock-hour reading: 2:00 is 两点, not 二点."""
+    return "两" if h == 2 else zh_int(h)
+
+
 # ---------------------------------------------------------------------------
 # English number reading
 # ---------------------------------------------------------------------------
@@ -184,6 +189,16 @@ _NUM = r"\d+(?:\.\d+)?"
 _ERHUA_PRE = "玩花活事哪这那味头园盘片歌词曲画座们脸鸟劲门亮点面一会半伙孩娃"
 _INTERJECTIONS = "嗯呃啊唉哎哦噢喔呀嘛吧呗啦咯哟"
 
+# unicode roman numerals Ⅰ..Ⅻ / ⅰ..ⅻ (U+2160-216B, U+2170-217B)
+_ROMAN_UC = "ⅠⅡⅢⅣⅤⅥⅦⅧⅨⅩⅪⅫ"
+_ROMAN_LC = "ⅰⅱⅲⅳⅴⅵⅶⅷⅸⅹⅺⅻ"
+
+# measure words after which a lone 2 is read 两 (WeTextProcessing's
+# 二→两 idiom: 2个人 → 两个人, but 第2 → 第二 and 2月 → 二月)
+_MEASURES = ("个只条张把件本辆位名台部架间家份杯瓶栋层块顶枚艘门颗粒棵株盏"
+             "扇面批组届场趟回倍对双套段节首亩顿笔封包袋箱碗盘斤克吨"
+             "米天周年岁点排列")
+
 
 class ZhNormalizer:
     """Chinese text normalizer: NSW → speakable Chinese.
@@ -204,6 +219,12 @@ class ZhNormalizer:
         def rng(m):  # N到M, both plain readings
             return zh_number(m.group(1)) + "到" + zh_number(m.group(2))
 
+        def rng_y(m):  # currency range ¥3-5 → 三到五元
+            return zh_number(m.group(1)) + "到" + zh_number(m.group(2)) + "元"
+
+        def rng_d(m):  # $3-5 → 三到五美元
+            return zh_number(m.group(1)) + "到" + zh_number(m.group(2)) + "美元"
+
         self.rules: List[Tuple[re.Pattern, Callable[[re.Match], str]]] = [
             # dates: 2030/1/2, 2023-04-05, 2025年01月11日
             (re.compile(r"(\d{4})\s*[/\-年]\s*(\d{1,2})\s*[/\-月]\s*(\d{1,2})\s*日?"),
@@ -213,17 +234,29 @@ class ZhNormalizer:
              lambda m: zh_digits(m.group(1)) + "年"),
             (re.compile(r"(\d{1,2})\s*月(\d{1,2})\s*[日号]"),
              lambda m: f"{zh_int(int(m.group(1)))}月{zh_int(int(m.group(2)))}日"),
-            # time HH:MM(:SS)
+            # time HH:MM(:SS); 2点 is idiomatically 两点
             (re.compile(r"(\d{1,2}):(\d{2}):(\d{2})"),
-             lambda m: f"{zh_int(int(m.group(1)))}点{zh_int(int(m.group(2)))}分"
+             lambda m: f"{_zh_hour(int(m.group(1)))}点"
+                       f"{zh_int(int(m.group(2)))}分"
                        f"{zh_int(int(m.group(3)))}秒"),
             (re.compile(r"(\d{1,2}):(\d{2})(?!\d)"),
-             lambda m: f"{zh_int(int(m.group(1)))}点"
+             lambda m: f"{_zh_hour(int(m.group(1)))}点"
              + ("" if int(m.group(2)) == 0 else
                 ("零" + zh_int(int(m.group(2))) if int(m.group(2)) < 10
                  else zh_int(int(m.group(2)))) + "分")),
+            # hyphen/tilde ranges directly before a unit suffix run before the
+            # phone rule (3-5元 is a range, not a number group): the right
+            # endpoint is left for the unit rules below. -3~2℃ reads 零下.
+            (re.compile(rf"(-?{n})\s*[~～\-—]\s*(?={n}\s*(?:[元块%‰]|°C|℃|℉"
+                        r"|万|亿|千米|千克|公斤|公里|厘米|毫米|毫升|米|岁|度|倍|人|次|天|年|个))"),
+             lambda m: ("零下" + zh_number(m.group(1)[1:])
+                        if m.group(1).startswith("-")
+                        else zh_number(m.group(1))) + "到"),
+            # currency ranges before the phone rule (¥100-200 is not a phone)
+            (re.compile(rf"[¥￥]\s*({n})\s*[~～\-—]\s*[¥￥]?\s*({n})"), rng_y),
+            (re.compile(rf"\$\s*({n})\s*[~～\-—]\s*\$?\s*({n})"), rng_d),
             # telephone: separator-joined or bare 11-digit mobile / 3-4+7-8
-            (re.compile(r"\d{3,}(?:[-\s]\d{3,})+"),
+            (re.compile(r"(?<![¥￥$\d.])\d{3,}(?:[-\s]\d{3,})+"),
              lambda m: zh_digits_phone(re.sub(r"[-\s]", "", m.group(0)))),
             (re.compile(r"(?<!\d)1[3-9]\d{9}(?!\d)"),
              lambda m: zh_digits_phone(m.group(0))),
@@ -232,12 +265,20 @@ class ZhNormalizer:
             (re.compile(rf"\$\s*({n})"), lambda m: zh_number(m.group(1)) + "美元"),
             (re.compile(rf"({n})\s*[元块]"),
              lambda m: zh_number(m.group(1)) + m.group(0)[-1]),
-            # percent / permille
-            (re.compile(rf"({n})\s*%"), lambda m: "百分之" + zh_number(m.group(1))),
-            (re.compile(rf"({n})\s*‰"), lambda m: "千分之" + zh_number(m.group(1))),
-            # temperature
-            (re.compile(rf"(-?{n})\s*(?:°C|℃)"),
-             lambda m: zh_number(m.group(1)) + "摄氏度"),
+            # percent / permille (signed: -0.5% → 负百分之零点五)
+            (re.compile(rf"(-?)({n})\s*%"),
+             lambda m: ("负" if m.group(1) else "")
+             + "百分之" + zh_number(m.group(2))),
+            (re.compile(rf"(-?)({n})\s*‰"),
+             lambda m: ("负" if m.group(1) else "")
+             + "千分之" + zh_number(m.group(2))),
+            # temperature: negative reads 零下 (WeTextProcessing convention)
+            (re.compile(rf"(-?)({n})\s*(?:°C|℃)"),
+             lambda m: ("零下" if m.group(1) else "")
+             + zh_number(m.group(2)) + "摄氏度"),
+            (re.compile(rf"(-?)({n})\s*℉"),
+             lambda m: ("零下" if m.group(1) else "")
+             + zh_number(m.group(2)) + "华氏度"),
             # units (longest suffix first)
             (re.compile(rf"({n})\s*km/h"), lambda m: zh_number(m.group(1)) + "千米每小时"),
             (re.compile(rf"({n})\s*m/s"), lambda m: zh_number(m.group(1)) + "米每秒"),
@@ -257,6 +298,14 @@ class ZhNormalizer:
             (re.compile(rf"({n})\s*[~～\-—]\s*({n})"), rng),
             # "3000+" → 三千多
             (re.compile(rf"({n})\s*\+"), lambda m: zh_number(m.group(1)) + "多"),
+            # measure-word idiom: a lone 2 before a measure word reads 两
+            # (2个人 → 两个人; 第2/12个/2.5 are excluded by the guards)
+            (re.compile(rf"(?<![\d.第])2(?![\d.])\s*(?=[{_MEASURES}])"),
+             lambda m: "两"),
+            # unicode roman numerals (Ⅰ..Ⅻ) read as cardinals
+            (re.compile(f"[{_ROMAN_UC}{_ROMAN_LC}]"),
+             lambda m: zh_int((_ROMAN_UC + _ROMAN_LC).index(m.group(0)) % 12
+                              + 1)),
             # ordinals ride the bare-number rule (第3 → 第三)
             (re.compile(n), lambda m: zh_number(m.group(0))),
         ]
@@ -315,11 +364,22 @@ class EnNormalizer:
             # phone-style digit runs
             (re.compile(r"\d{3,}(?:-\d{3,})+"),
              lambda m: en_digits(re.sub(r"-", "", m.group(0)))),
+            # currency ranges: $3-5 → three to five dollars
+            (re.compile(rf"\$\s*({n})\s*[-~～—]\s*\$?\s*({n})"),
+             lambda m: en_number(m.group(1)) + " to "
+             + en_number(m.group(2)) + " dollars"),
             # money
             (re.compile(rf"\$\s*({n})"),
              lambda m: en_number(m.group(1)) + " dollars"
              if m.group(1) not in ("1", "1.0") else "one dollar"),
             (re.compile(rf"({n})\s*%"), lambda m: en_number(m.group(1)) + " percent"),
+            # temperature: -5°C → minus five degrees Celsius
+            (re.compile(rf"(-?)({n})\s*(?:°C|℃)"),
+             lambda m: ("minus " if m.group(1) else "")
+             + en_number(m.group(2)) + " degrees Celsius"),
+            (re.compile(rf"(-?)({n})\s*(?:°F|℉)"),
+             lambda m: ("minus " if m.group(1) else "")
+             + en_number(m.group(2)) + " degrees Fahrenheit"),
             # ordinals
             (re.compile(r"\b(\d+)\s*(st|nd|rd|th)\b", re.IGNORECASE),
              lambda m: en_ordinal(int(m.group(1)))),

@@ -124,3 +124,22 @@ def test_remove_long_silence_device_parity(rng):
             n = int(want_lens[i])
             np.testing.assert_array_equal(got[i, :n], want[i, :n])
             assert (got[i, n:] == stop).all()
+
+
+def test_gr_progress_driven(engine, tmp_path):
+    """The webui progress hook is called at every stage boundary, ending at
+    0.9 'save audio' (parity: infer.py:273-275 with calls at 502-633)."""
+    p = _prompt_wav(tmp_path)
+    for method in ("infer", "infer_fast"):
+        calls = []
+        engine.gr_progress = lambda v, desc="": calls.append((v, desc))
+        try:
+            getattr(engine, method)(str(p), "ab ab. cd cd.", None,
+                                    max_mel_tokens=16, do_sample=False)
+        finally:
+            engine.gr_progress = None
+        values = [v for v, _ in calls]
+        assert values[0] == 0 and values[-1] == 0.9, (method, calls)
+        assert values == sorted(values), (method, calls)
+        assert any("text processing" in d for _, d in calls)
+        assert any("speech" in d for _, d in calls)

@@ -222,6 +222,45 @@ def test_normalizer_golden_zh(norm):
         "气温37°C": "气温三十七摄氏度",
         "涨了5%": "涨了百分之五",
         "3~5天": "三到五天",
+        # signed / degree quantities
+        "气温-5°C": "气温零下五摄氏度",
+        "-3~2℃": "零下三到二摄氏度",
+        "跌了-0.5%": "跌了负百分之零点五",
+        "98.6℉": "九十八点六华氏度",
+        # measure-word idiom: lone 2 reads 两, ordinals/dates/decimals keep 二
+        "2个人": "两个人",
+        "买了2斤苹果": "买了两斤苹果",
+        "2年后再见": "两年后再见",
+        "2点开会": "两点开会",
+        "下午2:30": "下午两点三十分",
+        "第2名": "第二名",
+        "2月2日": "二月二日",
+        "12个": "十二个",
+        "2.5个": "二点五个",
+        # roman numerals
+        "第Ⅱ章": "第二章",
+        "罗马数字Ⅶ": "罗马数字七",
+        "第ⅻ卷": "第十二卷",
+        # currency / quantity ranges
+        "3-5元": "三到五元",
+        "约3~5万": "约三到五万",
+        "30~50块": "三十到五十块",
+        "这件要$3-5": "这件要三到五美元",
+        "价格¥100-200": "价格一百到二百元",
+        # fractions, permille, money depth
+        "中了3/4的概率": "中了四分之三的概率",
+        "合格率99.9‰": "合格率千分之九十九点九",
+        "¥12999": "一万二千九百九十九元",
+        "付了12.5元": "付了十二点五元",
+        "$99.5": "九十九点五美元",
+        # phones / digit strings
+        "110": "一百一十",
+        "拨打13812345678": "拨打幺三八幺二三四五六七八",
+        # large cardinals / zeros
+        "100000008": "一亿零八",
+        "10002": "一万零二",
+        "2002年": "二零零二年",
+        "0.07": "零点零七",
     }
     for src, want in golden.items():
         assert norm.normalize(src) == want, (src, norm.normalize(src))
@@ -238,6 +277,11 @@ def test_normalizer_golden_en(norm):
         "call 135-4567-8900": "call one three five four five six seven eight nine zero zero",
         "in 1999": "in nineteen ninety nine",
         "in 2002": "in twenty oh two",
+        "prices are $3-5": "prices are three to five dollars",
+        "it is -5°C outside": "it is minus five degrees Celsius outside",
+        "72°F today": "seventy two degrees Fahrenheit today",
+        "a 25% discount": "a twenty five percent discount",
+        "3/8 of an inch": "three eighths of an inch",
     }
     for src, want in golden.items():
         assert norm.normalize(src) == want, (src, norm.normalize(src))

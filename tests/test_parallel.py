@@ -71,6 +71,40 @@ def test_dp_tp_decode_matches_unsharded(small, rng):
                                   np.asarray(ref.lengths))
 
 
+@pytest.mark.parametrize("stochastic", [False, True])
+def test_dp_tp_beam_decode_matches_unsharded(small, rng, stochastic):
+    """The engine's quality default (num_beams=3): beam decode under a
+    (data=4, model=2) mesh must be token-identical to single-device."""
+    from index_tts_dubbing_tpu.engine import decode as decode_mod
+
+    cfg, params = small
+    sc = decode_mod.SamplingConfig(do_sample=stochastic, max_mel_tokens=12)
+    rows = [rng.integers(2, 80, size=n).astype(np.int32)
+            for n in (5, 7, 6, 4)]
+    conds = jnp.asarray(
+        rng.standard_normal((1, cfg.condition_num_latent, cfg.model_dim))
+        .astype(np.float32))
+    pre = decode_mod.prepare_prefix_host(cfg, rows, pad_to=8)
+    emb, keep = decode_mod.build_prefix_emb(
+        params, cfg, conds, pre["ids"], pre["pos"], pre["seg"],
+        pre["cond_idx"])
+    key = jax.random.PRNGKey(3)
+    ref = decode_mod._beam_decode(params, cfg, sc, emb, keep, key, 3, 0.0,
+                                  stochastic)
+
+    mesh = mesh_lib.make_mesh(data=4, model=2)
+    specs = mesh_lib.gpt_param_specs(params, model_size=2)
+    sharded = mesh_lib.shard_tree(params, specs, mesh)
+    demb = jax.device_put(emb, NamedSharding(mesh, P("data")))
+    dkeep = jax.device_put(keep, NamedSharding(mesh, P("data")))
+    out = decode_mod._beam_decode(sharded, cfg, sc, demb, dkeep, key, 3, 0.0,
+                                  stochastic, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(out.codes),
+                                  np.asarray(ref.codes))
+    np.testing.assert_array_equal(np.asarray(out.lengths),
+                                  np.asarray(ref.lengths))
+
+
 def test_engine_mesh_infer_matches_unsharded(tmp_path):
     """Full-engine parity: IndexTTS under a DP×TP mesh, greedy decode, must
     produce the same waveform as the single-device engine."""

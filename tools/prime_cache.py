@@ -120,9 +120,11 @@ def main(argv=None):
                   bv_sds, engine.bigvgan_cfg, lat, spk)
 
     # the production serving path (infer_fast/infer_batch/bench): windows
-    # gathered on device from the (rows, MB, C) latent tensor — rows are
-    # power-of-two bucketed by the engine, MB ranges over CODE_BUCKETS
-    print("priming device-resident stream vocode (gather)...", flush=True)
+    # gathered on device from the (rows, MB, C) latent tensor by the tiny
+    # _gather_windows jit (keys on (rows, MB, NB) but compiles in ~1 s), then
+    # vocoded by the NB-keyed window programs primed above — the expensive
+    # program matrix no longer multiplies by rows×MB.
+    print("priming stream gather programs (tiny)...", flush=True)
     rows_buckets = (4, 16) if not args.all else (1, 2, 4, 8, 16, 32)
     for rows in rows_buckets:
         for cb in code_buckets:
@@ -131,11 +133,8 @@ def main(argv=None):
                                        voc.compute_dtype)
             for nb in voc.WINDOW_COUNT_BUCKETS:
                 idx = jax.ShapeDtypeStruct((nb, full), np.int32)
-                prime(f"stream gather rows={rows} code={cb} NB={nb}",
-                      voc_mod._vocode_window_gather,
-                      bv_sds, engine.bigvgan_cfg, lat, idx, spk,
-                      layout=voc.layout, use_pallas=voc.use_pallas,
-                      fuse_resblocks=voc.fuse_resblocks, packed=packed_sds)
+                prime(f"gather rows={rows} code={cb} NB={nb}",
+                      voc_mod._gather_windows, lat, idx)
 
     print(f"primed {done} programs in {time.perf_counter()-t_all:.0f}s")
 
