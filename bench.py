@@ -1,38 +1,78 @@
 """Headline benchmark: end-to-end TTS RTF on one chip.
 
-Runs the flagship IndexTTS-1.5-sized pipeline (conditioning → AR decode →
-latent pass → windowed vocoder) on a fixed synthetic workload and prints ONE
-JSON line:  {"metric": "rtf", "value": ..., "unit": ..., "vs_baseline": ...}
+Runs the flagship IndexTTS-1.5-sized pipeline on a fixed synthetic workload
+through the FUSED serving graph (engine/fused.py: prefix → AR decode →
+silence trim → latent pass → windowed BigVGAN in ONE XLA program) and prints
+ONE JSON line: {"metric": "rtf", "value": ..., "unit": ..., "vs_baseline": ...}
+
+Two decode modes are measured: the sampling fast path (num_beams=1) and the
+reference's quality default (num_beams=3 beam sampling, infer.py:332); the
+headline RTF is the quality default's, detail carries both.
 
 vs_baseline is measured against the driver target RTF < 0.05
 (BASELINE.md: "Per-chip speed: RTF < 0.05") — values > 1.0 beat the target.
 
+Cold-start design (this backend pays ~2-4 min of server session bring-up on
+the FIRST execution of a process, plus a server compile per distinct program
+— see docs/PERFORMANCE_NOTES.md):
+ 1. a tiny op is dispatched asynchronously at import time so the session
+    bring-up runs CONCURRENTLY with everything below;
+ 2. the two fused programs + the conditioning/speaker programs are
+    AOT-compiled in parallel threads (XLA compiles release the GIL);
+ 3. a repo-local seed cache (tools/seed_cache.py) makes step 2 a cache hit.
+
 Random weights are used (no public checkpoints ship with the reference);
 decode length is fixed by max_mel_tokens so the workload is deterministic
-and timing-representative: the same matmuls/kernels run as with real
-weights.
+and timing-representative: the same matmuls/kernels run as with real weights.
 """
 import faulthandler
 import json
 import sys
+import threading
 import time
 
 import numpy as np
 
 faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
+T0 = time.perf_counter()
 
 
 def log(msg):
-    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
-          flush=True)
+    print(f"[bench {time.strftime('%H:%M:%S')} +{time.perf_counter()-T0:5.0f}s]"
+          f" {msg}", file=sys.stderr, flush=True)
+
+
+def sds_tree(tree):
+    import jax
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+        if not hasattr(x, "aval") else jax.ShapeDtypeStruct(x.shape, x.dtype),
+        tree)
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    # seed the persistent compile cache from the repo-local snapshot BEFORE
+    # any compile happens (no-op if absent or already seeded)
+    try:
+        from tools.seed_cache import seed_compile_cache
+        n_seeded = seed_compile_cache()
+        if n_seeded:
+            log(f"seeded compile cache with {n_seeded} entries")
+    except Exception as e:  # bench must run even if seeding breaks
+        log(f"cache seeding skipped: {type(e).__name__}: {e}")
+
+    # kick the server session bring-up NOW (async dispatch, not synced):
+    # it proceeds concurrently with param init and the AOT compiles below
+    warm_probe = jnp.zeros(8) + 1
+
     from index_tts_dubbing_tpu.engine import decode as decode_mod
-    from index_tts_dubbing_tpu.engine.tts import IndexTTS, remove_long_silence
+    from index_tts_dubbing_tpu.engine import fused as fused_mod
+    from index_tts_dubbing_tpu.engine.tts import IndexTTS
+    from index_tts_dubbing_tpu.engine.tts import _cond_jit
+    from index_tts_dubbing_tpu.engine import vocoder as voc_mod
     from index_tts_dubbing_tpu.utils.config import EngineConfig
 
     fp16 = "--fp32" not in sys.argv
@@ -57,68 +97,111 @@ def main():
     rows = [rng.integers(2, 12000, size=n_text).astype(np.int32)
             for _ in range(batch)]
 
-    # num_beams=1: the sampling fast path (the reference's quality default
-    # num_beams=3 is available but benches the same kernels 3x wider)
-    sc = engine._sampling_config(dict(do_sample=True, num_beams=1,
-                                      max_mel_tokens=steps))
+    # ---- AOT-compile every program concurrently (bring-up still running)
+    cfg = engine.gpt_cfg
+    voc = engine.vocoder
+    gpt_sds = sds_tree(engine.params["gpt"])
+    bv_sds = sds_tree(engine.params["bigvgan"])
+    dtype = engine.dtype
+    packed = voc._packed_weights()
+    packed_sds = sds_tree(packed) if packed is not None else None
+    num_windows = -(-batch * steps // voc.window)
+    key_sds = jax.ShapeDtypeStruct((2,), np.uint32)
+    conds_sds = jax.ShapeDtypeStruct(
+        (1, cfg.condition_num_latent, cfg.model_dim), dtype)
+    spk_sds = jax.ShapeDtypeStruct(
+        (1, 1, engine.bigvgan_cfg.speaker_embedding_dim), voc.compute_dtype)
+    s0 = cfg.condition_num_latent + n_text + 2
+    pre_sds = [jax.ShapeDtypeStruct((batch, s0), np.int32)] * 4
+    text_sds = jax.ShapeDtypeStruct((batch, n_text), np.int32)
+    tlen_sds = jax.ShapeDtypeStruct((batch,), np.int64)
+
+    def compile_fused(nb):
+        sc = decode_mod.SamplingConfig(do_sample=True, max_mel_tokens=steps)
+        t0 = time.perf_counter()
+        fused_mod.synthesize_fused.lower(
+            gpt_sds, bv_sds, cfg, engine.bigvgan_cfg, sc, conds_sds,
+            *pre_sds, text_sds, tlen_sds, spk_sds, key_sds, packed_sds, 0.0,
+            num_windows=num_windows, window=voc.window, halo=voc.halo,
+            use_pallas=voc.use_pallas, fuse_resblocks=voc.fuse_resblocks,
+            edge_exact=voc.edge_exact, num_beams=nb).compile()
+        log(f"fused program (num_beams={nb}) compiled "
+            f"{time.perf_counter()-t0:.0f}s")
+
+    def compile_cond():
+        t0 = time.perf_counter()
+        mel_sds = jax.ShapeDtypeStruct((1, 470, 100), np.float32)
+        len_sds = jax.ShapeDtypeStruct((1,), np.int64)
+        _cond_jit.lower(gpt_sds, cfg, mel_sds, len_sds).compile()
+        voc_mod.speaker_embedding.lower(
+            bv_sds, jax.ShapeDtypeStruct((1, 470, 100), np.float32)
+        ).compile()
+        log(f"cond+spk compiled {time.perf_counter()-t0:.0f}s")
+
+    threads = [threading.Thread(target=compile_fused, args=(1,)),
+               threading.Thread(target=compile_fused, args=(3,)),
+               threading.Thread(target=compile_cond)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    log("all programs compiled")
+
+    np.asarray(warm_probe)  # session bring-up complete from here
+    log("device session up")
+
     conds = engine._conditioning(cond_mel)
     spk = engine.vocoder.speaker_embedding(
         jnp.asarray(cond_mel.transpose(0, 2, 1)))
 
-    def run_once():
-        t0 = time.perf_counter()
-        log("decode...")
-        codes, lens = engine._decode_batch(conds, rows, sc)
-        t_decode = time.perf_counter() - t0
-        log(f"decode done {t_decode:.1f}s")
-        lat_rows = []
-        total_codes = 0
-        for i in range(batch):
-            row_codes, row_lens = remove_long_silence(
-                codes[i:i + 1], engine.stop_mel_token)
-            n = int(row_lens[0])
-            total_codes += n
-            lat_rows.append((rows[i], row_codes[0], n))
-        t0 = time.perf_counter()
-        lat_dev, lens, inv = engine._latents_batch_device(conds, lat_rows)
-        t_latent = time.perf_counter() - t0
-        # one device-resident windowed vocode over the stitched latent
-        # stream (the infer_fast/infer_batch production path: the latents
-        # never round-trip through the host)
-        t0 = time.perf_counter()
-        wav = engine.vocoder.stream_device(lat_dev, lens, order=inv, spk=spk)
-        t_vocode = time.perf_counter() - t0
-        wav_samples = wav.size
-        log(f"latent {t_latent:.1f}s vocode {t_vocode:.1f}s")
-        return t_decode, t_latent, t_vocode, total_codes, wav_samples
-
     import jax as _jax
-    key0 = _jax.random.PRNGKey(0)
+    with _jax.default_device(_jax.devices("cpu")[0]):
+        key0 = _jax.random.PRNGKey(0)
 
-    def pinned_run():
+    def run_once(num_beams):
         # identical sampling keys per run → identical codes → the warm run
         # reuses every compiled shape from the warmup run
         engine._rng = key0
-        return run_once()
+        sc = engine._sampling_config(dict(do_sample=True,
+                                          num_beams=num_beams,
+                                          max_mel_tokens=steps))
+        t0 = time.perf_counter()
+        wav, res = engine.synthesize_fused(conds, rows, sc, spk)
+        dt = time.perf_counter() - t0
+        tokens = int(np.asarray(res.gen_lengths).sum())
+        return dt, wav.size, tokens
 
-    pinned_run()  # warmup: compiles every static shape
-    t_decode, t_latent, t_vocode, total_codes, wav_samples = pinned_run()
+    log("warmup run (num_beams=1)...")
+    run_once(1)
+    log("warmup run (num_beams=3)...")
+    run_once(3)
+    log("timed runs...")
+    t_fast, n_fast, tok_fast = run_once(1)
+    t_beam, n_beam, tok_beam = run_once(3)
+    log(f"fast {t_fast:.2f}s/{n_fast/sr:.1f}s-audio  "
+        f"beam3 {t_beam:.2f}s/{n_beam/sr:.1f}s-audio")
 
-    total = t_decode + t_latent + t_vocode
-    audio_s = wav_samples / sr
-    rtf = total / audio_s
-    decode_tok_s = batch * steps / t_decode
-    vocoder_rtf = t_vocode / audio_s
+    audio_beam = n_beam / sr
+    audio_fast = n_fast / sr
+    rtf_beam = t_beam / audio_beam
+    rtf_fast = t_fast / audio_fast
 
+    # headline = the engine/reference DEFAULT decode mode (num_beams=3)
     print(json.dumps({
         "metric": "rtf",
-        "value": round(rtf, 5),
+        "value": round(rtf_beam, 5),
         "unit": "sec_compute_per_sec_audio",
-        "vs_baseline": round(0.05 / rtf, 3),
+        "vs_baseline": round(0.05 / rtf_beam, 3),
         "detail": {
-            "decode_tokens_per_s": round(decode_tok_s, 1),
-            "vocoder_rtf": round(vocoder_rtf, 5),
-            "audio_seconds_per_s_per_chip": round(audio_s / total, 2),
+            "mode": "beam_sample x3 (reference default), fused graph",
+            "rtf_sampling": round(rtf_fast, 5),
+            "tokens_generated": tok_beam,
+            "tokens_generated_sampling": tok_fast,
+            "tokens_per_s_e2e_sampling": round(tok_fast / t_fast, 1),
+            "audio_seconds_per_s_per_chip": round(audio_beam / t_beam, 2),
+            "audio_seconds_per_s_sampling": round(audio_fast / t_fast, 2),
+            "warmup_wall_s": round(time.perf_counter() - T0
+                                   - t_fast - t_beam, 1),
             "dtype": "bf16" if fp16 else "fp32",
             "backend": jax.default_backend(),
         },

@@ -1,5 +1,5 @@
 """Continuous batching over the AR decoder: fixed B decode slots, rows are
-refilled from a request queue the moment they finish.
+refilled from a DEVICE-RESIDENT request queue the moment they finish.
 
 This is the TPU-native replacement for the dubbing layer's per-segment
 sequential synthesis (reference: srt_dubbing strategies call one full
@@ -9,14 +9,23 @@ waits for the longest row of every bucket: here a finished row's slot is
 immediately re-used by the next pending request, so heterogeneous SRT
 segment lengths no longer serialise the chip.
 
-Design (all static shapes, three compiled programs total):
-- ``prefill`` — batch-1 trunk forward at a bucketed prefix width, returning
-  the per-layer K/V stack and the first sampled token;
-- ``insert`` — writes that K/V block + per-row bookkeeping into one slot of
-  the shared decode state (pure device-side update);
-- ``decode_chunk`` — K decode steps for all B slots in one fori_loop; rows
-  carry independent write positions / lengths / done flags. The host drains
-  finished rows between chunks and refills their slots.
+Design (all static shapes):
+- ``prefill`` — batched trunk forward at a bucketed prefix width; ALL
+  requests are prefilled up-front in power-of-two groups and parked in a
+  device-resident queue (per-request K/V block, first token, keep mask);
+- ``cb_run`` — ONE jitted while_loop runs the whole workload: every step
+  decodes all B slots (per-row positions/done flags); a finished row's
+  tokens are scattered into the per-request result buffer and its slot is
+  refilled from the queue INSIDE the loop (lax.cond-gated, so the refill's
+  cache writes happen only on the ~N steps where a refill occurs). Zero
+  host round-trips between the first token and the last.
+- ``insert`` / ``decode_chunk`` — the r02 host-refill primitives, kept for
+  the incremental API; ``run`` now uses the device queue. r02's host
+  refills paid 2×~30 ms dispatch RTT per request plus a host sync per
+  chunk, which made CB LOSE to plain bucketing even on its target
+  workload (docs/PERFORMANCE_NOTES.md r02 table) — the device-side queue
+  removes exactly those costs. Per-request ``max_new`` caps support
+  duration-targeted dubbing workloads.
 
 Sampling semantics are identical to engine/decode.py (HF processor order,
 repetition penalty over the seen-token set, the tortoise mel-position
@@ -53,6 +62,7 @@ class CBState(NamedTuple):
     active: jnp.ndarray    # (B,) bool — slot holds a live request
     seen: jnp.ndarray      # (B, V) bool — repetition-penalty set
     tokens: jnp.ndarray    # (B, max_steps) int32
+    row_max: jnp.ndarray   # (B,) int32 — per-request generation cap
     rng: jax.Array
 
 
@@ -70,6 +80,7 @@ def init_state(cfg: GPTConfig, sc: SamplingConfig, batch: int, s_total: int,
         active=jnp.zeros((b,), bool),
         seen=jnp.zeros((b, v), bool),
         tokens=jnp.full((b, sc.max_mel_tokens), cfg.stop_mel_token, jnp.int32),
+        row_max=jnp.full((b,), sc.max_mel_tokens, jnp.int32),
         rng=rng,
     )
 
@@ -90,7 +101,8 @@ def prefill(params: Params, cfg: GPTConfig, emb: jnp.ndarray,
 @partial(jax.jit, static_argnames=("cfg", "sc"), donate_argnames=("state",))
 def insert(params: Params, cfg: GPTConfig, sc: SamplingConfig,
            state: CBState, row: jnp.ndarray, h_last: jnp.ndarray,
-           kv: KVCache, pad_keep: jnp.ndarray) -> CBState:
+           kv: KVCache, pad_keep: jnp.ndarray,
+           max_new: Optional[jnp.ndarray] = None) -> CBState:
     """Install a prefilled request into slot ``row`` and sample its first
     token. ``pad_keep`` (1, S0) marks real (non-pad) prefix slots."""
     s0 = kv.k.shape[3]
@@ -131,6 +143,9 @@ def insert(params: Params, cfg: GPTConfig, sc: SamplingConfig,
         seen=jax.lax.dynamic_update_slice(state.seen, seen_row[None], (row, 0)),
         tokens=jax.lax.dynamic_update_slice(state.tokens, tokens_row[None],
                                             (row, 0)),
+        row_max=state.row_max.at[row].set(
+            jnp.int32(sc.max_mel_tokens) if max_new is None
+            else max_new.astype(jnp.int32)),
         rng=rng,
     )
 
@@ -193,7 +208,8 @@ def _step(params: Params, cfg: GPTConfig, sc: SamplingConfig,
         live[:, None],
         state.tokens.at[rows, write_idx].set(tok), state.tokens)
     seen = state.seen.at[rows, tok].max(live)
-    hit_cap = state.n_gen + 1 >= sc.max_mel_tokens
+    hit_cap = state.n_gen + 1 >= jnp.minimum(state.row_max,
+                                             sc.max_mel_tokens)
     newly_done = live & ((tok == cfg.stop_mel_token) | hit_cap)
     return CBState(
         cache=KVCache(k_all, v_all),
@@ -205,6 +221,7 @@ def _step(params: Params, cfg: GPTConfig, sc: SamplingConfig,
         active=state.active,
         seen=seen,
         tokens=tokens,
+        row_max=state.row_max,
         rng=rng,
     )
 
@@ -225,10 +242,140 @@ def decode_chunk(params: Params, cfg: GPTConfig, sc: SamplingConfig,
     return state
 
 
+
+
+class CBQueue(NamedTuple):
+    """Device-resident prefilled request queue (all rows padded to one
+    prefix width S0max; per-request real width in ``pos``)."""
+    kv_k: jnp.ndarray      # (L, N, H, S0max, D)
+    kv_v: jnp.ndarray
+    keep: jnp.ndarray      # (N, S0max) bool — real prefix slots
+    tok0: jnp.ndarray      # (N,) int32 — first sampled token
+    seen0: jnp.ndarray     # (N, V) bool — rep-penalty set incl. tok0
+    pos: jnp.ndarray       # (N,) int32 — next cache slot (= real s0)
+    max_new: jnp.ndarray   # (N,) int32 — per-request cap
+
+
+@partial(jax.jit, static_argnames=("cfg", "sc"))
+def queue_first_tokens(params: Params, cfg: GPTConfig, sc: SamplingConfig,
+                       h: jnp.ndarray, rng: jax.Array
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample every queued request's first token in one batched call.
+    h (N, C) → (tok0 (N,), seen0 (N, V))."""
+    n = h.shape[0]
+    v = cfg.number_mel_codes
+    seen = jnp.zeros((n, v), bool)
+    seen = seen.at[:, sc.fake_prefix_id].set(True)
+    seen = seen.at[:, cfg.start_mel_token].set(True)
+    logits = gpt_model.mel_logits_from_hidden(params, h)
+    logits = decode_mod._process_logits(logits, seen, sc)
+    if sc.do_sample:
+        tok0 = jax.random.categorical(rng, logits, axis=-1)
+    else:
+        tok0 = jnp.argmax(logits, axis=-1)
+    tok0 = tok0.astype(jnp.int32)
+    seen = seen.at[jnp.arange(n), tok0].set(True)
+    return tok0, seen
+
+
+@partial(jax.jit, static_argnames=("cfg", "sc"),
+         donate_argnames=("state",))
+def cb_run(params: Params, cfg: GPTConfig, sc: SamplingConfig,
+           state: CBState, queue: CBQueue, slot_req: jnp.ndarray,
+           next_req: jnp.ndarray
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the WHOLE workload in one while_loop: decode all B slots each
+    step; finished rows flush their tokens to the per-request result buffer
+    and refill from the device queue inside the loop. Returns
+    (out_tokens (N, max_steps), out_ngen (N,))."""
+    b, s_total = state.key_keep.shape
+    n_req = queue.tok0.shape[0]
+    s0max = queue.keep.shape[1]
+    max_steps = sc.max_mel_tokens
+    rows = jnp.arange(b)
+
+    out_tokens = jnp.full((n_req, max_steps), cfg.stop_mel_token, jnp.int32)
+    out_ngen = jnp.zeros((n_req,), jnp.int32)
+
+    def flush_and_refill(state, slot_req, next_req, out_tokens, out_ngen):
+        fin = state.active & state.done
+        # flush finished rows to their request's result row (OOB index for
+        # non-finished rows → scatter drops the update)
+        dst = jnp.where(fin, slot_req, n_req)
+        out_tokens = out_tokens.at[dst].set(state.tokens, mode="drop")
+        out_ngen = out_ngen.at[dst].set(state.n_gen, mode="drop")
+        # assign queued requests to finished rows (in row order)
+        k_fin = jnp.cumsum(fin) - 1                       # rank among fin
+        req_for_row = next_req + k_fin.astype(jnp.int32)
+        refill = fin & (req_for_row < n_req)
+        req_idx = jnp.where(refill, req_for_row, 0)
+        n_refill = jnp.sum(refill).astype(jnp.int32)
+
+        def do_refill(args):
+            state, slot_req = args
+            gk = queue.kv_k[:, req_idx].astype(state.cache.k.dtype)
+            gv = queue.kv_v[:, req_idx].astype(state.cache.v.dtype)
+            sel = refill[None, :, None, None, None]
+            k = state.cache.k.at[:, :, :, :s0max].set(
+                jnp.where(sel, gk, state.cache.k[:, :, :, :s0max]))
+            v = state.cache.v.at[:, :, :, :s0max].set(
+                jnp.where(sel, gv, state.cache.v[:, :, :, :s0max]))
+            keep_new = jnp.zeros((b, s_total), bool
+                                 ).at[:, :s0max].set(queue.keep[req_idx])
+            key_keep = jnp.where(refill[:, None], keep_new, state.key_keep)
+            tok0 = queue.tok0[req_idx]
+            tokens_new = jnp.full((b, max_steps), cfg.stop_mel_token,
+                                  jnp.int32).at[:, 0].set(tok0)
+            state = CBState(
+                cache=KVCache(k, v),
+                key_keep=key_keep,
+                pos=jnp.where(refill, queue.pos[req_idx], state.pos),
+                n_gen=jnp.where(refill, 1, state.n_gen),
+                prev=jnp.where(refill, tok0, state.prev),
+                done=jnp.where(refill, tok0 == cfg.stop_mel_token,
+                               state.done),
+                active=jnp.where(fin, refill, state.active),
+                seen=jnp.where(refill[:, None], queue.seen0[req_idx],
+                               state.seen),
+                tokens=jnp.where(refill[:, None], tokens_new, state.tokens),
+                row_max=jnp.where(refill, queue.max_new[req_idx],
+                                  state.row_max),
+                rng=state.rng,
+            )
+            return state, jnp.where(refill, req_idx, slot_req)
+
+        def no_refill(args):
+            state, slot_req = args
+            return state._replace(active=state.active & ~fin), slot_req
+
+        state, slot_req = jax.lax.cond(
+            jnp.any(fin), do_refill, no_refill, (state, slot_req))
+        return state, slot_req, next_req + n_refill, out_tokens, out_ngen
+
+    def cond_fn(carry):
+        state = carry[0]
+        next_req = carry[2]
+        return jnp.any(state.active & ~state.done) | (next_req < n_req)
+
+    def body_fn(carry):
+        state, slot_req, next_req, out_tokens, out_ngen = carry
+        state = _step(params, cfg, sc, state)
+        return flush_and_refill(state, slot_req, next_req, out_tokens,
+                                out_ngen)
+
+    # rows may already be done right after install (stop as first token)
+    carry = flush_and_refill(state, slot_req, next_req, out_tokens, out_ngen)
+    carry = jax.lax.while_loop(cond_fn, body_fn, carry)
+    return carry[3], carry[4]
+
+
 @dataclass
 class CBRequest:
     uid: int
     text_ids: np.ndarray
+    # optional per-request generation cap (duration-targeted dubbing); None
+    # → sc.max_mel_tokens
+    max_new: Optional[int] = None
 
 
 class ContinuousBatcher:
@@ -270,59 +417,73 @@ class ContinuousBatcher:
             yield (h[i:i + 1], KVCache(kv.k[:, i:i + 1], kv.v[:, i:i + 1]),
                    keep[i:i + 1])
 
-    def run(self, requests: Sequence[CBRequest], dtype=jnp.float32
-            ) -> Dict[int, Tuple[np.ndarray, int]]:
-        cfg, sc = self.cfg, self.sc
-        queue: List[CBRequest] = list(requests)
-        max_prefix = max((self._bucket(r.text_ids.size) for r in queue),
-                         default=0) + 2 + cfg.condition_num_latent + 1
-        s_total = max_prefix + sc.max_mel_tokens
-        self.rng, sub = jax.random.split(self.rng)
-        state = init_state(cfg, sc, self.batch, s_total, sub, dtype=dtype)
-        slot_uid: List[Optional[int]] = [None] * self.batch
+    def run(self, requests: Sequence[CBRequest], dtype=jnp.float32,
+            max_queue: int = 64) -> Dict[int, Tuple[np.ndarray, int]]:
+        """Synthesize every request; returns {uid: (codes, length)}.
+
+        All requests (per wave of ≤ max_queue, bounding the device queue's
+        HBM footprint) are prefilled up-front in power-of-two batched calls,
+        parked in a device-resident CBQueue, and decoded by ONE cb_run
+        program — slot refills happen inside the device loop."""
         results: Dict[int, Tuple[np.ndarray, int]] = {}
+        reqs = list(requests)
+        for w0 in range(0, len(reqs), max_queue):
+            results.update(self._run_wave(reqs[w0:w0 + max_queue], dtype))
+        return results
 
-        def fill_free_slots(state):
-            free = [r for r in range(self.batch) if slot_uid[r] is None]
-            take = queue[:len(free)]
-            del queue[:len(take)]
-            # group same-bucket requests, prefill each group in power-of-two
-            # batched dispatches, then install row by row
-            by_bucket: Dict[int, List[CBRequest]] = {}
-            for req in take:
-                by_bucket.setdefault(self._bucket(req.text_ids.size),
-                                     []).append(req)
-            it_free = iter(free)
-            for _, reqs in sorted(by_bucket.items()):
-                i0 = 0
-                while i0 < len(reqs):
-                    n = 1 << ((len(reqs) - i0).bit_length() - 1)
-                    group = reqs[i0:i0 + n]
-                    i0 += n
-                    for req, (h, kv, keep) in zip(
-                            group, self._prefill_group(group)):
-                        row = next(it_free)
-                        state = insert(self.params, cfg, sc, state,
-                                       jnp.int32(row), h, kv, keep)
-                        slot_uid[row] = req.uid
-            return state
+    def _run_wave(self, reqs: List[CBRequest], dtype
+                  ) -> Dict[int, Tuple[np.ndarray, int]]:
+        cfg, sc = self.cfg, self.sc
+        n_req = len(reqs)
+        if n_req == 0:
+            return {}
+        pad_to = max(self._bucket(r.text_ids.size) for r in reqs)
+        # prefill in power-of-two groups at ONE common width (pads are
+        # attention-masked; uniform width keeps the queue a single array)
+        ks, vs, keeps, hs = [], [], [], []
+        i0 = 0
+        while i0 < n_req:
+            g = 1 << ((n_req - i0).bit_length() - 1)
+            group = reqs[i0:i0 + g]
+            i0 += g
+            pre = decode_mod.prepare_prefix_host(
+                cfg, [r.text_ids for r in group], pad_to=pad_to)
+            emb, keep = decode_mod.build_prefix_emb(
+                self.params, cfg, self.conds, jnp.asarray(pre["ids"]),
+                jnp.asarray(pre["pos"]), jnp.asarray(pre["seg"]),
+                jnp.asarray(pre["cond_idx"]))
+            h, kv = prefill(self.params, cfg, emb.astype(dtype), keep)
+            ks.append(kv.k); vs.append(kv.v); keeps.append(keep); hs.append(h)
+        kv_k = ks[0] if len(ks) == 1 else jnp.concatenate(ks, axis=1)
+        kv_v = vs[0] if len(vs) == 1 else jnp.concatenate(vs, axis=1)
+        keep = keeps[0] if len(keeps) == 1 else jnp.concatenate(keeps, axis=0)
+        h_all = hs[0] if len(hs) == 1 else jnp.concatenate(hs, axis=0)
+        s0 = int(keep.shape[1])
 
-        state = fill_free_slots(state)
-        while any(u is not None for u in slot_uid):
-            state = decode_chunk(self.params, cfg, sc, state, self.chunk)
-            done = np.asarray(state.done)
-            active = np.asarray(state.active)
-            if np.any(done & active):
-                tokens = np.asarray(state.tokens)
-                n_gen = np.asarray(state.n_gen)
-                for row in range(self.batch):
-                    if slot_uid[row] is not None and done[row]:
-                        row_tok = tokens[row]
-                        stops = np.nonzero(row_tok == cfg.stop_mel_token)[0]
-                        ln = int(stops[0]) if stops.size else int(n_gen[row])
-                        results[slot_uid[row]] = (row_tok.copy(), ln)
-                        slot_uid[row] = None
-                        state = state._replace(
-                            active=state.active.at[row].set(False))
-                state = fill_free_slots(state)
+        self.rng, k_first, k_state = jax.random.split(self.rng, 3)
+        tok0, seen0 = queue_first_tokens(self.params, cfg, sc, h_all, k_first)
+        queue = CBQueue(
+            kv_k=kv_k, kv_v=kv_v, keep=keep, tok0=tok0, seen0=seen0,
+            pos=jnp.full((n_req,), s0, jnp.int32),
+            max_new=jnp.asarray(
+                [min(r.max_new or sc.max_mel_tokens, sc.max_mel_tokens)
+                 for r in reqs], jnp.int32))
+
+        b = self.batch
+        state = init_state(cfg, sc, b, s0 + sc.max_mel_tokens, k_state,
+                           dtype=dtype)
+        # all slots start as finished dummies flushing to the OOB result
+        # row — cb_run's pre-loop flush installs the first B requests
+        state = state._replace(active=jnp.ones((b,), bool))
+        slot_req = jnp.full((b,), n_req, jnp.int32)
+        out_tokens, out_ngen = cb_run(self.params, cfg, sc, state, queue,
+                                      slot_req, jnp.int32(0))
+        out_tokens = np.asarray(out_tokens)
+        out_ngen = np.asarray(out_ngen)
+        results: Dict[int, Tuple[np.ndarray, int]] = {}
+        for i, r in enumerate(reqs):
+            row = out_tokens[i]
+            stops = np.nonzero(row == cfg.stop_mel_token)[0]
+            ln = int(stops[0]) if stops.size else int(out_ngen[i])
+            results[r.uid] = (row.copy(), ln)
         return results

@@ -327,12 +327,12 @@ def _warp_scores(scores: jnp.ndarray, sc: SamplingConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg", "sc", "num_beams", "stochastic",
-                                   "mesh"))
+                                   "mesh", "reorder"))
 def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                  prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
                  rng: jax.Array, num_beams: int, length_penalty: float,
-                 stochastic: bool, mesh: Optional[Mesh] = None
-                 ) -> GenerateResult:
+                 stochastic: bool, mesh: Optional[Mesh] = None,
+                 reorder: str = "gen") -> GenerateResult:
     b, s0, c = prefix_emb.shape
     nb = num_beams
     bn = b * nb
@@ -363,38 +363,60 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     seen0 = seen0.at[:, cfg.start_mel_token].set(True)
     seen0 = cs(seen0, "data")
 
-    # --- blocked beam-history reorder --------------------------------------
+    # --- beam-history reorder ----------------------------------------------
     # The HF `_reorder_cache` equivalent (gpt/model.py:194-207) gathers the
-    # FULL cache per step. Here only what can differ is touched: the prefix
-    # region [0, s0) is identical across a row's beams (it was repeated from
-    # one prefill) and slots beyond the current step are unwritten, so the
-    # reorder runs per SB-slot block of the generated region, each guarded by
-    # lax.cond on (block started) & (the permutation is not the identity).
-    # Traffic per step is O(j) instead of O(s_total) — and zero on the
-    # (common) steps where every beam survives in place.
+    # FULL cache per step. Strategies (static ``reorder``):
+    #  "gen"     (default) — reorder only the generated region [s0, s0+max):
+    #            the prefix [0, s0) is identical across a row's beams (it was
+    #            repeated from one prefill), so skipping it statically saves
+    #            its traffic every step with no data-dependent control flow;
+    #  "full"    — gather the whole cache (HF-faithful baseline);
+    #  "blocked" — SB-slot blocks gated by lax.cond on (block written) &
+    #            (permutation != identity). Measured PATHOLOGICAL on TPU:
+    #            conds inside while_loop force branch-isolation copies of
+    #            the full cache (~65 ms/step at B=16·nb=3 vs ~8 ms for
+    #            "gen"; tools/profile_beam_step.py) — kept for the record.
+    # All gathers run on (b, nb, ...) views with per-row indices so they
+    # stay shard-local under a ``data``-sharded mesh.
     SB = 128
     n_blocks = (max_steps + SB - 1) // SB
 
     def reorder_cache(cache, src, j):
         idx = src[None, :, :, None, None, None]     # (1, b, nb, 1, 1, 1)
-        identity = jnp.all(src == jnp.arange(nb)[None, :])
-
-        def do_block(arr, lo, width):
-            blk = jax.lax.slice_in_dim(arr, lo, lo + width, axis=3)
-            g = blk.reshape(L, b, nb, H, width, D)
-            g = jnp.take_along_axis(g, idx, axis=2)
-            return jax.lax.dynamic_update_slice_in_dim(
-                arr, g.reshape(L, bn, H, width, D), lo, axis=3)
-
         k, v = cache
-        for m in range(n_blocks):
-            lo = s0 + m * SB
-            width = min(SB, max_steps - m * SB)
-            pred = (jnp.int32(m * SB) <= j - 1) & ~identity
-            k = jax.lax.cond(pred,
-                             lambda a: do_block(a, lo, width), lambda a: a, k)
-            v = jax.lax.cond(pred,
-                             lambda a: do_block(a, lo, width), lambda a: a, v)
+
+        if reorder == "full":
+            def do(arr):
+                g = arr.reshape(L, b, nb, H, s_total, D)
+                g = jnp.take_along_axis(g, idx, axis=2)
+                return g.reshape(L, bn, H, s_total, D)
+            k, v = do(k), do(v)
+        elif reorder == "gen":
+            def do(arr):
+                blk = jax.lax.slice_in_dim(arr, s0, s_total, axis=3)
+                g = blk.reshape(L, b, nb, H, max_steps, D)
+                g = jnp.take_along_axis(g, idx, axis=2)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    arr, g.reshape(L, bn, H, max_steps, D), s0, axis=3)
+            k, v = do(k), do(v)
+        else:  # "blocked"
+            identity = jnp.all(src == jnp.arange(nb)[None, :])
+
+            def do_block(arr, lo, width):
+                blk = jax.lax.slice_in_dim(arr, lo, lo + width, axis=3)
+                g = blk.reshape(L, b, nb, H, width, D)
+                g = jnp.take_along_axis(g, idx, axis=2)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    arr, g.reshape(L, bn, H, width, D), lo, axis=3)
+
+            for m in range(n_blocks):
+                lo = s0 + m * SB
+                width = min(SB, max_steps - m * SB)
+                pred = (jnp.int32(m * SB) <= j - 1) & ~identity
+                k = jax.lax.cond(pred, lambda a: do_block(a, lo, width),
+                                 lambda a: a, k)
+                v = jax.lax.cond(pred, lambda a: do_block(a, lo, width),
+                                 lambda a: a, v)
         return gpt_model.KVCache(cs(k, None, "data", "model"),
                                  cs(v, None, "data", "model"))
 

@@ -1,0 +1,159 @@
+"""Fused end-to-end synthesis graph: one XLA program for the whole pipeline.
+
+The engine's staged path (engine/tts.py) dispatches ~10 separate programs per
+batch: prefix embedding, AR decode, silence trim, bucketed latent passes, the
+window gathers and the window-vocode batches. On this TPU backend every
+DISTINCT program pays a large one-time cost in a fresh process (server-side
+compile + executable load, tens of seconds to minutes each — the dominant
+cold-start cost, see docs/PERFORMANCE_NOTES.md), plus a ~30 ms dispatch RTT
+per call when warm.
+
+This module lowers the entire batch synthesis into ONE jitted program:
+
+    prefix emb → generate (lax.while_loop decode) → remove_long_silence
+    (device) → masked-pad latent pass → on-device window plan over the
+    virtual concat stream → windowed BigVGAN (C-major + Pallas kernels,
+    edge-exact boundaries) → flat waveform
+
+so a cold process compiles/loads exactly one executable, and a warm step has
+zero host round-trips between stages. Semantics are the staged path's:
+every stage reuses the SAME traced functions the staged engine calls
+(decode.generate, remove_long_silence_device, forward_latent_bucketed,
+_vocode_window_cmajor), inlined by jit.
+
+Constraints (by design, static shapes): one text bucket per call (the engine
+pads rows to a TEXT_BUCKET), one code bucket = sc.max_mel_tokens, and a
+static window-count ceiling ceil(B·steps / window) — windows beyond the
+real stream length are junk rows whose outputs are dropped on the host.
+
+Reference role: replaces the infer_fast orchestration loop
+(indextts/infer.py:278-497) for uniform-bucket batches.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from index_tts_dubbing_tpu.engine import decode as decode_mod
+from index_tts_dubbing_tpu.engine import vocoder as voc_mod
+from index_tts_dubbing_tpu.models import gpt as gpt_model
+from index_tts_dubbing_tpu.models.bigvgan import BigVGANConfig
+from index_tts_dubbing_tpu.models.gpt import GPTConfig
+
+
+class FusedResult(NamedTuple):
+    wav: jnp.ndarray        # (num_windows · window · upsample,) fp32; valid
+                            # prefix is stream_frames · upsample samples
+    stream_frames: jnp.ndarray   # scalar: total latent frames after trim
+    codes: jnp.ndarray      # (B, steps) raw generated codes (pre-trim)
+    gen_lengths: jnp.ndarray     # (B,) pre-trim lengths (decode accounting)
+    lens: jnp.ndarray       # (B,) post-trim latent frames per row
+    lat: jnp.ndarray        # (B, steps, C) latent-pass output (device): lets
+                            # the engine fall back to the exact short-stream
+                            # path when stream_frames < window + 2·halo
+
+
+@partial(jax.jit,
+         static_argnames=("gpt_cfg", "bv_cfg", "sc", "num_windows", "window",
+                          "halo", "use_pallas", "fuse_resblocks",
+                          "edge_exact", "num_beams"))
+def synthesize_fused(gpt_params: Dict[str, Any], bv_params: Dict[str, Any],
+                     gpt_cfg: GPTConfig, bv_cfg: BigVGANConfig,
+                     sc: decode_mod.SamplingConfig,
+                     conds: jnp.ndarray, ids: jnp.ndarray, pos: jnp.ndarray,
+                     seg: jnp.ndarray, cond_idx: jnp.ndarray,
+                     text_ids: jnp.ndarray, text_lens: jnp.ndarray,
+                     spk: jnp.ndarray, rng: jax.Array, packed,
+                     length_penalty: float = 0.0,
+                     *, num_windows: int, window: int, halo: int,
+                     use_pallas: bool, fuse_resblocks: bool,
+                     edge_exact: bool, num_beams: int = 1) -> FusedResult:
+    """One-program batch synthesis. Inputs are the staged path's own
+    artifacts: prefix arrays from prepare_prefix_host, unframed text rows for
+    the latent pass, the precomputed speaker embedding, and the packed fused
+    resblock weights. num_beams > 1 decodes with beam sampling / beam search
+    per sc.do_sample (the reference's num_beams=3 quality default)."""
+    b = ids.shape[0]
+    steps = sc.max_mel_tokens
+    up = int(np.prod(bv_cfg.upsample_rates))
+    full = window + 2 * halo
+
+    # ---- 1. AR decode (prefill + while_loop), as in the staged path
+    emb, keep = decode_mod.build_prefix_emb(gpt_params, gpt_cfg, conds, ids,
+                                            pos, seg, cond_idx)
+    if num_beams > 1:
+        res = decode_mod._beam_decode(gpt_params, gpt_cfg, sc, emb, keep,
+                                      rng, num_beams, length_penalty,
+                                      stochastic=sc.do_sample)
+    else:
+        res = decode_mod.generate(gpt_params, gpt_cfg, sc, emb, keep, rng)
+
+    # ---- 2. silence trim on device (== host remove_long_silence; tested)
+    from index_tts_dubbing_tpu.engine.tts import remove_long_silence_device
+    codes, lens = remove_long_silence_device(res.codes, gpt_cfg.stop_mel_token)
+
+    # ---- 3. latent pass at one (LB, steps) bucket — masked-pad exact
+    cnds = conds
+    if cnds.shape[0] == 1 and b > 1:
+        cnds = jnp.broadcast_to(cnds, (b,) + cnds.shape[1:])
+    lat = gpt_model.forward_latent_bucketed(
+        gpt_params, gpt_cfg, cnds, text_ids, text_lens, codes,
+        lens.astype(jnp.int64))
+
+    # ---- 4. window plan over the virtual stream concat(lat[i, :lens[i]])
+    mb = steps
+    p_total = b * mb
+    lens32 = lens.astype(jnp.int32)
+    t = jnp.sum(lens32)                              # stream frames (traced)
+    bounds = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(lens32)])
+    pos_s = jnp.arange(p_total, dtype=jnp.int32)
+    row = jnp.clip(
+        jnp.searchsorted(bounds, pos_s, side="right").astype(jnp.int32) - 1,
+        0, b - 1)
+    col = pos_s - bounds[row]
+    # junk region (pos ≥ t): col may exceed mb — clamp into range
+    flatmap = jnp.clip(row * mb + col, 0, p_total - 1)
+    wi = jnp.arange(num_windows, dtype=jnp.int32)
+    lo = jnp.clip(wi * window - halo, 0, jnp.maximum(t - full, 0))
+    gidx = jnp.clip(lo[:, None] + jnp.arange(full, dtype=jnp.int32)[None, :],
+                    0, p_total - 1)
+    idx = flatmap[gidx]                              # (NW, full)
+    flat = lat.reshape(p_total, lat.shape[-1])
+    windows = jnp.take(flat, idx, axis=0)            # (NW, full, C)
+
+    # ---- 5. vocode (the staged path's window body, inlined)
+    if spk.shape[0] == 1:
+        spk = jnp.broadcast_to(spk, (num_windows,) + spk.shape[1:])
+    wav_w = voc_mod._vocode_window_cmajor(
+        bv_params, bv_cfg, windows.astype(conds.dtype), spk,
+        use_pallas=use_pallas, fuse_resblocks=fuse_resblocks, packed=packed)
+    wav_w = wav_w.astype(jnp.float32)                # (NW, full·up)
+    off = wi * window - lo                           # output start in window
+    oidx = off[:, None] * up + jnp.arange(window * up,
+                                          dtype=jnp.int32)[None, :]
+    wav = jnp.take_along_axis(wav_w, oidx, axis=1).reshape(-1)
+
+    if edge_exact and (use_pallas or fuse_resblocks):
+        # first + last real window through the exact zero-pad-conv path
+        # (stream boundaries; engine/vocoder.py _plan_batches semantics)
+        n_win = jnp.clip((t + window - 1) // window, 1, num_windows)
+        last = n_win - 1
+        eidx = jnp.stack([idx[0], jnp.take(idx, last, axis=0)])
+        ewin = jnp.take(flat, eidx, axis=0).astype(conds.dtype)
+        ewav = voc_mod._vocode_window_cmajor(
+            bv_params, bv_cfg, ewin, spk[:2], use_pallas=False,
+            fuse_resblocks=False, packed=None).astype(jnp.float32)
+        first_out = jnp.take_along_axis(ewav[0][None], oidx[:1], axis=1)[0]
+        wav = jax.lax.dynamic_update_slice(wav, first_out, (0,))
+        last_off = jnp.take(off, last)
+        last_oidx = last_off * up + jnp.arange(window * up, dtype=jnp.int32)
+        last_out = jnp.take(ewav[1], last_oidx)
+        wav = jax.lax.dynamic_update_slice(
+            wav, last_out, (last.astype(jnp.int32) * (window * up),))
+
+    return FusedResult(wav, t, res.codes, res.lengths, lens, lat)

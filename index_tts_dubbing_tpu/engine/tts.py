@@ -284,7 +284,10 @@ class IndexTTS:
         self.cache_audio_prompt = None
         self.cache_cond_mel = None
         self.gr_progress = None
-        self._rng = jax.random.PRNGKey(seed)
+        # keys live on host CPU: eager PRNG ops would otherwise each be a
+        # separate device program (a server compile+load on this backend)
+        with jax.default_device(jax.devices("cpu")[0]):
+            self._rng = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------
     def _load_params(self, seed: int) -> Dict[str, Any]:
@@ -352,7 +355,8 @@ class IndexTTS:
                          jnp.asarray(cond_mel.transpose(0, 2, 1)), lens)
 
     def _next_key(self) -> jax.Array:
-        self._rng, sub = jax.random.split(self._rng)
+        with jax.default_device(jax.devices("cpu")[0]):
+            self._rng, sub = jax.random.split(self._rng)
         return sub
 
     def _sampling_config(self, kw: Dict[str, Any]) -> SamplingConfig:
@@ -516,6 +520,57 @@ class IndexTTS:
         inv = np.empty(n, np.int64)
         inv[rowmap] = np.arange(n)
         return lat, lens, inv
+
+    # ------------------------------------------------------------------
+    def synthesize_fused(self, conds, token_rows: List[np.ndarray],
+                         sc: SamplingConfig, spk):
+        """One-program batch synthesis (engine/fused.py): the whole
+        decode→trim→latent→vocode pipeline as a single XLA program, honoring
+        the engine's num_beams (beam sampling/search when > 1). Rows are
+        padded to one TEXT bucket. Returns (wav float32 (t·1024,),
+        FusedResult) — wav already cropped to the real stream length."""
+        from index_tts_dubbing_tpu.engine import fused as fused_mod
+        n = len(token_rows)
+        lmax = max(r.size for r in token_rows)
+        pad_to = next((bb for bb in self.TEXT_BUCKETS if bb >= lmax), lmax)
+        pre = decode_mod.prepare_prefix_host(self.gpt_cfg, token_rows,
+                                             pad_to=pad_to)
+        text = np.full((n, pad_to), self.gpt_cfg.stop_text_token, np.int32)
+        tlens = np.zeros(n, np.int64)
+        for i, r in enumerate(token_rows):
+            text[i, : r.size] = r
+            tlens[i] = r.size
+        voc = self.vocoder
+        cmajor = voc.layout == "cmajor"
+        steps = sc.max_mel_tokens
+        num_windows = -(-n * steps // voc.window)
+        res = fused_mod.synthesize_fused(
+            self.params["gpt"], self.params["bigvgan"], self.gpt_cfg,
+            self.bigvgan_cfg, sc, conds,
+            jnp.asarray(pre["ids"]), jnp.asarray(pre["pos"]),
+            jnp.asarray(pre["seg"]), jnp.asarray(pre["cond_idx"]),
+            jnp.asarray(text), jnp.asarray(tlens), spk, self._next_key(),
+            voc._packed_weights() if cmajor else None,
+            getattr(self, "_length_penalty", 0.0),
+            num_windows=num_windows, window=voc.window, halo=voc.halo,
+            use_pallas=voc.use_pallas if cmajor else False,
+            fuse_resblocks=voc.fuse_resblocks if cmajor else False,
+            edge_exact=voc.edge_exact,
+            num_beams=getattr(self, "_num_beams", 1))
+        t = int(res.stream_frames)
+        up = voc.upsample
+        if t < voc.window + 2 * voc.halo:
+            # short stream: the fused window plan cannot represent a stream
+            # shorter than one full window (its halo would read junk instead
+            # of the true boundary); re-vocode through the exact-length host
+            # path, exactly as stream_device does (engine/vocoder.py).
+            latnp = np.asarray(res.lat)
+            lens = np.asarray(res.lens)
+            stream = np.concatenate(
+                [latnp[i, : lens[i]] for i in range(n)], axis=0)
+            return voc(stream.astype(np.float32), spk=spk[:1]), res
+        wav = np.asarray(res.wav)[: t * up].astype(np.float32)
+        return wav, res
 
     # ------------------------------------------------------------------
     def _set_gr_progress(self, value, desc):
@@ -739,8 +794,14 @@ class IndexTTS:
     # ------------------------------------------------------------------
     def _report(self, times: StageTimes, fast: bool = False) -> None:
         tag = "[fast] " if fast else ""
+        # fast path: the latent pass is DISPATCHED async and its device time
+        # is absorbed into the vocoder wall (the total is exact; the split is
+        # attribution) — hence the +async/+latent annotations.
+        lat_note = " (dispatch only; compute folded into bigvgan)" if fast \
+            else ""
         print(f">> {tag}gpt_gen_time: {times.gpt_gen:.2f} s")
-        print(f">> {tag}gpt_forward_time: {times.gpt_forward:.2f} s")
+        print(f">> {tag}gpt_forward_time: {times.gpt_forward:.2f} s"
+              f"{lat_note}")
         print(f">> {tag}bigvgan_time: {times.bigvgan:.2f} s")
         print(f">> {tag}Total inference time: {times.total:.2f} s")
         print(f">> {tag}Generated audio length: {times.audio_seconds:.2f} s")

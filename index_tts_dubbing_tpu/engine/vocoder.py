@@ -339,19 +339,6 @@ def _gather_windows(lat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(flat, idx, axis=0)
 
 
-def _vocode_window_gather(params: Dict[str, Any], cfg: BigVGANConfig,
-                          lat: jnp.ndarray, idx: jnp.ndarray,
-                          spk: jnp.ndarray, layout: str,
-                          use_pallas: bool, fuse_resblocks: bool,
-                          packed=None) -> jnp.ndarray:
-    """Gather + vocode one window batch (two chained async dispatches)."""
-    windows = _gather_windows(lat, idx)         # (NB, full, C)
-    if layout == "cmajor":
-        return _vocode_window_cmajor(params, cfg, windows, spk,
-                                     use_pallas=use_pallas,
-                                     fuse_resblocks=fuse_resblocks,
-                                     packed=packed)
-    return _vocode_window(params, cfg, windows, spk)
 
 
 @partial(jax.jit, static_argnames=())
@@ -377,7 +364,8 @@ class WindowedVocoder:
                  max_batch: int = 32, compute_dtype=None,
                  layout: Optional[str] = None,
                  use_pallas: Optional[bool] = None,
-                 fuse_resblocks: Optional[bool] = None):
+                 fuse_resblocks: Optional[bool] = None,
+                 edge_exact: Optional[bool] = None):
         self.params = params
         self.cfg = cfg
         self.window = window
@@ -400,6 +388,17 @@ class WindowedVocoder:
         if fuse_resblocks is None:
             fuse_resblocks = use_pallas and jax.default_backend() == "tpu"
         self.fuse_resblocks = fuse_resblocks
+        # The Pallas kernels replicate-pad stage inputs where the reference
+        # zero-pads each conv — exact in window interiors (halo-cropped) but
+        # approximate within the kernels' chain span of the TRUE stream
+        # boundaries. Only the first and last window of a stream expose those
+        # boundaries, so by default they are routed through the exact
+        # cmajor-XLA path (zero-pad conv semantics) and everything else stays
+        # on the fast kernels. Spec: alias_free_torch/filter.py:29-95
+        # boundary behavior.
+        if edge_exact is None:
+            edge_exact = use_pallas or fuse_resblocks
+        self.edge_exact = edge_exact
         self._packed = None  # filled lazily: one device-resident packing
         # bf16 compute matches the reference's fp16-autocast vocoder
         # (infer.py:613) and is ~8x MXU throughput vs fp32 on TPU; fp32 is
@@ -443,15 +442,12 @@ class WindowedVocoder:
         t = latent.shape[0]
         if spk is None:
             spk = self.speaker_embedding(jnp.asarray(mel_ref))
-        if self.layout == "cmajor":
-            vocode = partial(_vocode_window_cmajor, use_pallas=self.use_pallas,
-                             fuse_resblocks=self.fuse_resblocks,
-                             packed=self._packed_weights())
-        else:
-            vocode = _vocode_window
         w, h, up = self.window, self.halo, self.upsample
         full = w + 2 * h
         if t <= full:
+            # a short stream is all boundary: the exact variant when the
+            # fast path approximates edges
+            vocode = self._vocode_fn(exact=self.edge_exact)
             wav = np.asarray(vocode(self.params, self.cfg,
                                     jnp.asarray(latent[None],
                                                 self.compute_dtype),
@@ -462,7 +458,8 @@ class WindowedVocoder:
         # is async, so batch k+1's upload/compute overlaps batch k's
         # download instead of serialising on np.asarray.
         chunks = []
-        for chunk in self._window_batches(self._window_list(t)):
+        for chunk, exact in self._plan_batches(self._window_list(t)):
+            vocode = self._vocode_fn(exact=exact)
             n = len(chunk)
             lat = np.empty((n, full, latent.shape[1]), np.float32)
             for i, (_, _, lo) in enumerate(chunk):
@@ -471,6 +468,36 @@ class WindowedVocoder:
                          jnp.asarray(lat, self.compute_dtype), spk)
             chunks.append((chunk, dev))
         return self._collect(t, chunks)
+
+    def _vocode_fn(self, exact: bool = False):
+        """The window-batch vocode callable. exact=True forces the zero-pad
+        conv semantics (no Pallas kernels) for stream-boundary windows."""
+        if self.layout != "cmajor":
+            return _vocode_window
+        if exact:
+            return partial(_vocode_window_cmajor, use_pallas=False,
+                           fuse_resblocks=False, packed=None)
+        return partial(_vocode_window_cmajor, use_pallas=self.use_pallas,
+                       fuse_resblocks=self.fuse_resblocks,
+                       packed=self._packed_weights())
+
+    def _plan_batches(self, wins):
+        """Yield (window chunk, exact_flag). With edge_exact and an
+        approximate fast path, the first and last windows (the only ones
+        whose output reaches a true stream boundary) go through one small
+        exact-path batch; interior windows keep the fast kernels."""
+        approx = (self.layout == "cmajor"
+                  and (self.use_pallas or self.fuse_resblocks))
+        if not (self.edge_exact and approx):
+            for chunk in self._window_batches(wins):
+                yield chunk, False
+            return
+        if len(wins) == 1:
+            yield list(wins), True
+            return
+        yield [wins[0], wins[-1]], True
+        for chunk in self._window_batches(wins[1:-1]):
+            yield chunk, False
 
     # -- shared window-plan helpers ------------------------------------
     def _window_list(self, t: int):
@@ -552,13 +579,11 @@ class WindowedVocoder:
         rows = np.repeat(order, slens)
         cols = np.arange(t) - np.repeat(bounds[:-1], slens)
         flatmap = (rows * mb + cols).astype(np.int32)
-        vkw = dict(layout=self.layout, use_pallas=self.use_pallas,
-                   fuse_resblocks=self.fuse_resblocks,
-                   packed=self._packed_weights())
         chunks = []
-        for chunk in self._window_batches(self._window_list(t)):
+        for chunk, exact in self._plan_batches(self._window_list(t)):
             idx = np.stack([flatmap[lo: lo + full] for (_, _, lo) in chunk])
-            dev = _vocode_window_gather(self.params, self.cfg, lat,
-                                        jnp.asarray(idx), spk, **vkw)
+            windows = _gather_windows(lat, jnp.asarray(idx))
+            dev = self._vocode_fn(exact=exact)(self.params, self.cfg,
+                                               windows, spk)
             chunks.append((chunk, dev))
         return self._collect(t, chunks)

@@ -39,7 +39,9 @@ def ref_vocoder():
     return m
 
 
-def test_full_pipeline_waveform_parity(ref_uv, jax_setup, ref_vocoder, rng):
+@pytest.mark.parametrize("layout", ["ref", "cmajor"])
+def test_full_pipeline_waveform_parity(ref_uv, jax_setup, ref_vocoder, rng,
+                                       layout):
     import jax
     from index_tts_dubbing_tpu.engine import decode
     from index_tts_dubbing_tpu.engine.vocoder import WindowedVocoder
@@ -94,7 +96,11 @@ def test_full_pipeline_waveform_parity(ref_uv, jax_setup, ref_vocoder, rng):
                                  np.array([10]),
                                  got_codes[None, :code_len].astype(np.int32),
                                  np.array([code_len]))
-    voc = WindowedVocoder(bv_params, bv_cfg, window=16, halo=32)
+    # "cmajor" = the TPU production layout minus the TPU-only Pallas
+    # kernels (use_pallas auto-off on CPU): CI exercises the code path
+    # production runs, not just the bit-exact "ref" form (VERDICT r02 #8)
+    voc = WindowedVocoder(bv_params, bv_cfg, window=16, halo=32,
+                          layout=layout)
     spk = voc.speaker_embedding(mel.transpose(0, 2, 1))
     wav_j = voc(np.asarray(latent)[0], spk=spk)
 

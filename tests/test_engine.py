@@ -143,3 +143,106 @@ def test_gr_progress_driven(engine, tmp_path):
         assert values == sorted(values), (method, calls)
         assert any("text processing" in d for _, d in calls)
         assert any("speech" in d for _, d in calls)
+
+
+def test_synthesize_fused_matches_staged(engine, rng):
+    """The one-program fused synthesis graph (engine/fused.py) must produce
+    the same codes and (allclose) waveform as the staged pipeline under the
+    same sampling key."""
+    import jax
+    import jax.numpy as jnp
+    from index_tts_dubbing_tpu.engine.tts import remove_long_silence
+
+    cond_mel = rng.standard_normal((1, 100, 60)).astype(np.float32)
+    engine.set_cond_mel(cond_mel, key="<fused-test>")
+    conds = engine._conditioning(cond_mel)
+    spk = engine.vocoder.speaker_embedding(
+        jnp.asarray(cond_mel.transpose(0, 2, 1)))
+    rows = [rng.integers(2, 100, size=n).astype(np.int32)
+            for n in (7, 5, 9, 6)]
+    sc = engine._sampling_config(dict(num_beams=1, do_sample=True,
+                                      max_mel_tokens=24))
+
+    # staged path
+    engine._rng = jax.random.PRNGKey(5)
+    codes, _ = engine._decode_batch(conds, rows, sc)
+    lat_rows = []
+    for i in range(len(rows)):
+        rc, rl = remove_long_silence(codes[i:i + 1], engine.stop_mel_token)
+        lat_rows.append((rows[i], rc[0], int(rl[0])))
+    lat_dev, lens, inv = engine._latents_batch_device(conds, lat_rows)
+    wav_staged = engine.vocoder.stream_device(
+        lat_dev, lens, order=inv[np.arange(len(rows))], spk=spk)
+
+    # fused path, same key
+    engine._rng = jax.random.PRNGKey(5)
+    wav_fused, res = engine.synthesize_fused(conds, rows, sc, spk)
+
+    np.testing.assert_array_equal(np.asarray(res.codes), codes)
+    np.testing.assert_array_equal(np.asarray(res.lens), lens[inv])
+    assert wav_fused.shape == wav_staged.shape
+    # ref-layout staged vs cmajor-XLA fused: same taps, conv reassociation
+    np.testing.assert_allclose(wav_fused, wav_staged, atol=2e-3)
+
+
+def test_synthesize_fused_long_stream(engine, rng):
+    """Fused graph over a multi-window stream (t >= window + 2*halo)."""
+    import jax
+    import jax.numpy as jnp
+    from index_tts_dubbing_tpu.engine.tts import remove_long_silence
+
+    cond_mel = rng.standard_normal((1, 100, 60)).astype(np.float32)
+    engine.set_cond_mel(cond_mel, key="<fused-long>")
+    conds = engine._conditioning(cond_mel)
+    spk = engine.vocoder.speaker_embedding(
+        jnp.asarray(cond_mel.transpose(0, 2, 1)))
+    rows = [rng.integers(2, 100, size=n).astype(np.int32)
+            for n in (7, 5, 9, 6, 8, 4)]
+    sc = engine._sampling_config(dict(num_beams=1, do_sample=True,
+                                      max_mel_tokens=40))
+
+    engine._rng = jax.random.PRNGKey(9)
+    codes, _ = engine._decode_batch(conds, rows, sc)
+    lat_rows = []
+    for i in range(len(rows)):
+        rc, rl = remove_long_silence(codes[i:i + 1], engine.stop_mel_token)
+        lat_rows.append((rows[i], rc[0], int(rl[0])))
+    lat_dev, lens, inv = engine._latents_batch_device(conds, lat_rows)
+    wav_staged = engine.vocoder.stream_device(
+        lat_dev, lens, order=inv[np.arange(len(rows))], spk=spk)
+
+    engine._rng = jax.random.PRNGKey(9)
+    wav_fused, res = engine.synthesize_fused(conds, rows, sc, spk)
+    t = int(res.stream_frames)
+    assert t >= engine.vocoder.window + 2 * engine.vocoder.halo, \
+        "workload too short to exercise the windowed fused path"
+    np.testing.assert_array_equal(np.asarray(res.codes), codes)
+    assert wav_fused.shape == wav_staged.shape
+    np.testing.assert_allclose(wav_fused, wav_staged, atol=2e-3)
+
+
+def test_synthesize_fused_beam(engine, rng):
+    """Fused graph with the num_beams=3 quality default: codes must equal
+    the staged beam decode under the same key."""
+    import jax
+    import jax.numpy as jnp
+
+    cond_mel = rng.standard_normal((1, 100, 60)).astype(np.float32)
+    engine.set_cond_mel(cond_mel, key="<fused-beam>")
+    conds = engine._conditioning(cond_mel)
+    spk = engine.vocoder.speaker_embedding(
+        jnp.asarray(cond_mel.transpose(0, 2, 1)))
+    rows = [rng.integers(2, 100, size=n).astype(np.int32) for n in (7, 5)]
+    sc = engine._sampling_config(dict(num_beams=3, do_sample=True,
+                                      max_mel_tokens=16))
+    assert engine._num_beams == 3
+
+    engine._rng = jax.random.PRNGKey(11)
+    codes, lens = engine._decode_batch(conds, rows, sc)
+
+    engine._rng = jax.random.PRNGKey(11)
+    wav, res = engine.synthesize_fused(conds, rows, sc, spk)
+    got = np.asarray(res.codes)
+    np.testing.assert_array_equal(got[:, :codes.shape[1]], codes)
+    assert (got[:, codes.shape[1]:] == engine.stop_mel_token).all()
+    assert wav.size == int(res.stream_frames) * engine.vocoder.upsample

