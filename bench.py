@@ -68,8 +68,6 @@ def main():
     # it proceeds concurrently with param init and the AOT compiles below
     warm_probe = jnp.zeros(8) + 1
 
-    from index_tts_dubbing_tpu.engine import decode as decode_mod
-    from index_tts_dubbing_tpu.engine import fused as fused_mod
     from index_tts_dubbing_tpu.engine.tts import IndexTTS
     from index_tts_dubbing_tpu.engine.tts import _cond_jit
     from index_tts_dubbing_tpu.engine import vocoder as voc_mod
@@ -97,45 +95,30 @@ def main():
     rows = [rng.integers(2, 12000, size=n_text).astype(np.int32)
             for _ in range(batch)]
 
-    # ---- AOT-compile every program concurrently (bring-up still running)
+    # ---- AOT-compile every program concurrently (bring-up still running).
+    # engine.aot_compile_fused derives the avals from the SAME functions the
+    # runtime calls (eval_shape), so the warmup runs are guaranteed cache
+    # hits — hand-built ShapeDtypeStructs cost a silent ~150 s recompile
+    # when a dtype drifts (conds/spk are fp32 even under bf16 params).
     cfg = engine.gpt_cfg
-    voc = engine.vocoder
     gpt_sds = sds_tree(engine.params["gpt"])
     bv_sds = sds_tree(engine.params["bigvgan"])
-    dtype = engine.dtype
-    packed = voc._packed_weights()
-    packed_sds = sds_tree(packed) if packed is not None else None
-    num_windows = -(-batch * steps // voc.window)
-    key_sds = jax.ShapeDtypeStruct((2,), np.uint32)
-    conds_sds = jax.ShapeDtypeStruct(
-        (1, cfg.condition_num_latent, cfg.model_dim), dtype)
-    spk_sds = jax.ShapeDtypeStruct(
-        (1, 1, engine.bigvgan_cfg.speaker_embedding_dim), voc.compute_dtype)
-    s0 = cfg.condition_num_latent + n_text + 2
-    pre_sds = [jax.ShapeDtypeStruct((batch, s0), np.int32)] * 4
-    text_sds = jax.ShapeDtypeStruct((batch, n_text), np.int32)
-    tlen_sds = jax.ShapeDtypeStruct((batch,), np.int64)
 
     def compile_fused(nb):
-        sc = decode_mod.SamplingConfig(do_sample=True, max_mel_tokens=steps)
+        sc = engine._sampling_config(dict(do_sample=True, num_beams=nb,
+                                          max_mel_tokens=steps))
         t0 = time.perf_counter()
-        fused_mod.synthesize_fused.lower(
-            gpt_sds, bv_sds, cfg, engine.bigvgan_cfg, sc, conds_sds,
-            *pre_sds, text_sds, tlen_sds, spk_sds, key_sds, packed_sds, 0.0,
-            num_windows=num_windows, window=voc.window, halo=voc.halo,
-            use_pallas=voc.use_pallas, fuse_resblocks=voc.fuse_resblocks,
-            edge_exact=voc.edge_exact, num_beams=nb).compile()
+        engine.aot_compile_fused(batch, n_text, sc, num_beams=nb,
+                                 cond_frames=470)
         log(f"fused program (num_beams={nb}) compiled "
             f"{time.perf_counter()-t0:.0f}s")
 
     def compile_cond():
         t0 = time.perf_counter()
         mel_sds = jax.ShapeDtypeStruct((1, 470, 100), np.float32)
-        len_sds = jax.ShapeDtypeStruct((1,), np.int64)
+        len_sds = jax.ShapeDtypeStruct((1,), np.int32)
         _cond_jit.lower(gpt_sds, cfg, mel_sds, len_sds).compile()
-        voc_mod.speaker_embedding.lower(
-            bv_sds, jax.ShapeDtypeStruct((1, 470, 100), np.float32)
-        ).compile()
+        voc_mod.speaker_embedding.lower(bv_sds, mel_sds).compile()
         log(f"cond+spk compiled {time.perf_counter()-t0:.0f}s")
 
     threads = [threading.Thread(target=compile_fused, args=(1,)),

@@ -94,22 +94,29 @@ def build_prefix_emb(params: Dict[str, Any], cfg: GPTConfig,
                      seg: jnp.ndarray, cond_idx: jnp.ndarray
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Device-side prefix embedding assembly + the trailing start_mel slot.
-    Returns (emb (B, S0, C), pad_keep (B, S0)) with S0 = target_len + 1."""
+    Returns (emb (B, S0, C), pad_keep (B, S0)) with S0 = target_len + 1.
+
+    emb (and therefore the decode KV cache) takes the PARAMS dtype, not the
+    conds dtype: the conditioning encoder emits fp32 even under bf16 params
+    (norms lift to fp32), and inheriting that fp32 into the decode loop
+    doubles every step's cache traffic and puts the trunk matmuls off the
+    bf16 MXU path (~2x step time at beam widths, measured r03)."""
     b, t = ids.shape
+    dtype = params["mel_emb"]["w"].dtype
     if conds.shape[0] == 1 and b > 1:
         conds = jnp.broadcast_to(conds, (b,) + conds.shape[1:])
     text_e = (nn.embedding(params["text_emb"], ids)
               + jnp.take(params["text_pos"]["w"], pos, axis=0))
     cond_e = jnp.take_along_axis(conds, cond_idx[..., None], axis=1)
     emb = jnp.where((seg == SEG_TEXT)[..., None], text_e, 0.0)
-    emb = jnp.where((seg == SEG_COND)[..., None], cond_e, emb)
+    emb = jnp.where((seg == SEG_COND)[..., None], cond_e.astype(dtype), emb)
     start = (params["mel_emb"]["w"][cfg.start_mel_token]
              + params["mel_pos"]["w"][0])
     emb = jnp.concatenate(
         [emb, jnp.broadcast_to(start[None, None], (b, 1, emb.shape[-1]))], axis=1)
     pad_keep = jnp.concatenate(
         [seg != SEG_PAD, jnp.ones((b, 1), bool)], axis=1)
-    return emb.astype(conds.dtype), pad_keep
+    return emb.astype(dtype), pad_keep
 
 
 def _typical_filter(logits: jnp.ndarray, mass: float,
@@ -385,7 +392,46 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         idx = src[None, :, :, None, None, None]     # (1, b, nb, 1, 1, 1)
         k, v = cache
 
-        if reorder == "full":
+        src_flat = (jnp.arange(b, dtype=src.dtype)[:, None] * nb
+                    + src).reshape(bn)
+
+        if reorder == "none":
+            # PROFILING ONLY: skip the history reorder entirely (wrong
+            # numerics whenever a step's permutation is not identity) —
+            # isolates the reorder's cost in tools/profile_beam_step.py.
+            pass
+        elif reorder == "flat":
+            # gen-region gather with a FLAT (bn,) row-index vector over the
+            # bn axis (jnp.take). take_along_axis (the "gen"/"full"
+            # strategies) broadcasts its index operand to the full output
+            # shape — on TPU that materialises an output-sized int32 index
+            # array and lowers to an elementwise gather (~14 ms/step at
+            # B=16·nb=3; tools/profile_beam_step.py r03). A rank-1 index
+            # vector lowers to 48 block copies instead (~0.6 ms/step).
+            # src stays per-row (src_flat = b·nb + src[b,:]), so rows never
+            # cross a ``data`` shard boundary under a mesh.
+            def do(arr):
+                blk = jax.lax.slice_in_dim(arr, s0, s_total, axis=3)
+                g = jnp.take(blk, src_flat, axis=1)
+                return jax.lax.dynamic_update_slice_in_dim(arr, g, s0, axis=3)
+            k, v = do(k), do(v)
+        elif reorder == "flatfull":
+            # flat-index gather of the WHOLE cache (no slice/update-slice
+            # aliasing dance) — trades prefix traffic for op simplicity
+            def do(arr):
+                return jnp.take(arr, src_flat, axis=1)
+            k, v = do(k), do(v)
+        elif reorder == "mm":
+            # one-hot matmul permutation over the beam axis (MXU path)
+            p = jax.nn.one_hot(src, nb, dtype=k.dtype)      # (b, nb_new, nb_old)
+            def do(arr):
+                blk = jax.lax.slice_in_dim(arr, s0, s_total, axis=3)
+                g = blk.reshape(L, b, nb, H, max_steps, D)
+                g = jnp.einsum("bij,lbjhsd->lbihsd", p, g)
+                return jax.lax.dynamic_update_slice_in_dim(
+                    arr, g.reshape(L, bn, H, max_steps, D), s0, axis=3)
+            k, v = do(k), do(v)
+        elif reorder == "full":
             def do(arr):
                 g = arr.reshape(L, b, nb, H, s_total, D)
                 g = jnp.take_along_axis(g, idx, axis=2)

@@ -129,8 +129,11 @@ def synthesize_fused(gpt_params: Dict[str, Any], bv_params: Dict[str, Any],
     # ---- 5. vocode (the staged path's window body, inlined)
     if spk.shape[0] == 1:
         spk = jnp.broadcast_to(spk, (num_windows,) + spk.shape[1:])
+    # vocoder compute dtype = its params dtype (conds is fp32 even under
+    # bf16 params; inheriting it would run the whole vocoder off-bf16)
+    voc_dtype = bv_params["conv_pre"]["w"].dtype
     wav_w = voc_mod._vocode_window_cmajor(
-        bv_params, bv_cfg, windows.astype(conds.dtype), spk,
+        bv_params, bv_cfg, windows.astype(voc_dtype), spk,
         use_pallas=use_pallas, fuse_resblocks=fuse_resblocks, packed=packed)
     wav_w = wav_w.astype(jnp.float32)                # (NW, full·up)
     off = wi * window - lo                           # output start in window
@@ -144,7 +147,7 @@ def synthesize_fused(gpt_params: Dict[str, Any], bv_params: Dict[str, Any],
         n_win = jnp.clip((t + window - 1) // window, 1, num_windows)
         last = n_win - 1
         eidx = jnp.stack([idx[0], jnp.take(idx, last, axis=0)])
-        ewin = jnp.take(flat, eidx, axis=0).astype(conds.dtype)
+        ewin = jnp.take(flat, eidx, axis=0).astype(voc_dtype)
         ewav = voc_mod._vocode_window_cmajor(
             bv_params, bv_cfg, ewin, spk[:2], use_pallas=False,
             fuse_resblocks=False, packed=None).astype(jnp.float32)

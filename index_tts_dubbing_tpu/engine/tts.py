@@ -522,6 +522,57 @@ class IndexTTS:
         return lat, lens, inv
 
     # ------------------------------------------------------------------
+    def aot_compile_fused(self, batch: int, n_text: int, sc: SamplingConfig,
+                          num_beams: int = 1, cond_frames: int = 470):
+        """AOT-compile the fused synthesis program for a workload shape,
+        with EXACTLY the avals the runtime ``synthesize_fused`` call will
+        produce. Dtype/shape drift between a hand-built ShapeDtypeStruct set
+        and the runtime call costs a silent full recompile (the engine's
+        conds/spk come out fp32 even under bf16 params because norms lift to
+        fp32), so the conds/spk avals are derived with jax.eval_shape from
+        the same jitted functions the runtime uses, and the prefix arrays
+        from prepare_prefix_host itself. Returns the compiled executable
+        (also primed into the persistent compile cache)."""
+        from index_tts_dubbing_tpu.engine import fused as fused_mod
+        from index_tts_dubbing_tpu.engine import vocoder as voc_mod
+        cfg = self.gpt_cfg
+        voc = self.vocoder
+
+        def sds(x):
+            return jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype) \
+                if not hasattr(x, "aval") \
+                else jax.ShapeDtypeStruct(x.shape, x.dtype)
+
+        gpt_sds = jax.tree.map(sds, self.params["gpt"])
+        bv_sds = jax.tree.map(sds, self.params["bigvgan"])
+        mel_sds = jax.ShapeDtypeStruct((1, cond_frames, self.cfg.mel.n_mels),
+                                       np.float32)
+        len_sds = jax.ShapeDtypeStruct((1,), np.int32)
+        conds_sds = jax.eval_shape(partial(_cond_jit, gpt_sds, cfg),
+                                   mel_sds, len_sds)
+        spk_sds = jax.eval_shape(partial(voc_mod.speaker_embedding, bv_sds),
+                                 mel_sds)
+        pad_to = next((bb for bb in self.TEXT_BUCKETS if bb >= n_text),
+                      n_text)
+        dummy = [np.zeros(n_text, np.int32)] * batch
+        pre = decode_mod.prepare_prefix_host(cfg, dummy, pad_to=pad_to)
+        pre_sds = [sds(jnp.asarray(pre[k]))
+                   for k in ("ids", "pos", "seg", "cond_idx")]
+        text_sds = jax.ShapeDtypeStruct((batch, pad_to), np.int32)
+        tlen_sds = jax.ShapeDtypeStruct((batch,), np.int32)
+        key_sds = sds(self._rng)
+        cmajor = voc.layout == "cmajor"
+        packed = voc._packed_weights() if cmajor else None
+        packed_sds = jax.tree.map(sds, packed) if packed is not None else None
+        num_windows = -(-batch * sc.max_mel_tokens // voc.window)
+        return fused_mod.synthesize_fused.lower(
+            gpt_sds, bv_sds, cfg, self.bigvgan_cfg, sc, conds_sds, *pre_sds,
+            text_sds, tlen_sds, spk_sds, key_sds, packed_sds, 0.0,
+            num_windows=num_windows, window=voc.window, halo=voc.halo,
+            use_pallas=voc.use_pallas if cmajor else False,
+            fuse_resblocks=voc.fuse_resblocks if cmajor else False,
+            edge_exact=voc.edge_exact, num_beams=num_beams).compile()
+
     def synthesize_fused(self, conds, token_rows: List[np.ndarray],
                          sc: SamplingConfig, spk):
         """One-program batch synthesis (engine/fused.py): the whole
@@ -594,9 +645,13 @@ class IndexTTS:
         if verbose:
             print(f">> {len(tokens)} tokens, {len(sentences)} sentences")
         sr = self.cfg.mel.sample_rate
-        wavs = []
         spk = self.vocoder.speaker_embedding(
             jnp.asarray(cond_mel.transpose(0, 2, 1)))
+        # decode stays per-sentence (the reference's sequential hot loop,
+        # infer.py:553); latent + vocode run once over the collected rows
+        # through the device-resident stream path — same audio, no per-
+        # sentence host round-trips (stream_device == host-path, tested)
+        lat_rows: List[Tuple[np.ndarray, np.ndarray, int]] = []
         for si, sent in enumerate(sentences):
             # per-sentence progress over the 0.2-0.8 band (infer.py:610)
             self._set_gr_progress(
@@ -609,15 +664,20 @@ class IndexTTS:
             times.gpt_gen += time.perf_counter() - t0
             codes, code_lens = remove_long_silence(
                 codes, self.stop_mel_token)
-            t0 = time.perf_counter()
-            latent = self._latents(conds, ids, codes[0], int(code_lens[0]))
-            times.gpt_forward += time.perf_counter() - t0
-            t0 = time.perf_counter()
-            wav = self.vocoder(latent, spk=spk)
-            times.bigvgan += time.perf_counter() - t0
-            wavs.append(np.clip(wav * 32767.0, -32767.0, 32767.0))
+            lat_rows.append((ids, codes[0], int(code_lens[0])))
+        t0 = time.perf_counter()
+        if lat_rows:
+            lat_dev, lens, inv = self._latents_batch_device(conds, lat_rows)
+        times.gpt_forward += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        if lat_rows:
+            wav = self.vocoder.stream_device(lat_dev, lens, order=inv,
+                                             spk=spk)
+            wav = np.clip(wav * 32767.0, -32767.0, 32767.0)
+        else:
+            wav = np.zeros(0, np.float32)
+        times.bigvgan += time.perf_counter() - t0
         self._set_gr_progress(0.9, "save audio...")
-        wav = np.concatenate(wavs) if wavs else np.zeros(0, np.float32)
         times.total = time.perf_counter() - start_time
         times.audio_seconds = wav.size / sr
         self._report(times)

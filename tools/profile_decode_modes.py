@@ -120,14 +120,13 @@ def run_engine(quant):
         print(f"  [{tag}] beam{nb} B={B}: {best*1e3:.2f} ms/step  "
               f"{B/best:.0f} rows-tok/s", flush=True)
 
-    if "gen4" in MODES:
-        bench_generate(4)
-    if "gen16" in MODES:
-        bench_generate(16)
-    if "beam4" in MODES:
-        bench_beam(4)
-    if "cb16" in MODES:
-        bench_cb(16, 32)
+    for m in MODES:
+        if m.startswith("gen"):
+            bench_generate(int(m[3:]))
+        elif m.startswith("beam"):
+            bench_beam(int(m[4:]))
+        elif m.startswith("cb"):
+            bench_cb(int(m[2:]), 2 * int(m[2:]))
 
 
 for q in QUANTS:
