@@ -339,7 +339,7 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                  prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
                  rng: jax.Array, num_beams: int, length_penalty: float,
                  stochastic: bool, mesh: Optional[Mesh] = None,
-                 reorder: str = "gen") -> GenerateResult:
+                 reorder: str = "split") -> GenerateResult:
     b, s0, c = prefix_emb.shape
     nb = num_beams
     bn = b * nb
@@ -353,17 +353,35 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     cs = _mk_constrain(mesh)
     prefix_emb = cs(prefix_emb, "data")
 
-    cache = gpt_model.init_cache(cfg, b, s_total, dtype=prefix_emb.dtype)
-    h, cache = gpt_model.trunk_prefill(params, cfg, prefix_emb, pad_keep,
-                                       cache)
-    # beams of one row are CONTIGUOUS (row-major (b, nb)): under a mesh the
-    # bn axis shards over ``data`` and every beam group stays shard-local.
-    cache = gpt_model.KVCache(
-        cs(jnp.repeat(cache.k, nb, axis=1), None, "data", "model"),
-        cs(jnp.repeat(cache.v, nb, axis=1), None, "data", "model"))
-    pad_keep_n = jnp.repeat(pad_keep, nb, axis=0)
-    base_keep = jnp.concatenate(
-        [pad_keep_n, jnp.ones((bn, max_steps), bool)], axis=1)
+    split = reorder in ("split", "splitnone")
+    if split:
+        # SplitCache: the prefix is stored ONCE per batch row (frozen,
+        # shared by its beams at attention time); only the generated region
+        # (L, bn, H, max_steps, D) exists per beam and is ever reordered.
+        pcache = gpt_model.init_cache(cfg, b, s0, dtype=prefix_emb.dtype)
+        h, pcache = gpt_model.trunk_prefill(params, cfg, prefix_emb,
+                                            pad_keep, pcache)
+        kg, vg = gpt_model.init_gen_cache(cfg, bn, max_steps,
+                                          dtype=prefix_emb.dtype)
+        cache = gpt_model.SplitCache(
+            cs(pcache.k, None, "data", "model"),
+            cs(pcache.v, None, "data", "model"),
+            cs(kg, None, "data", "model"),
+            cs(vg, None, "data", "model"))
+        base_keep = None
+    else:
+        cache = gpt_model.init_cache(cfg, b, s_total, dtype=prefix_emb.dtype)
+        h, cache = gpt_model.trunk_prefill(params, cfg, prefix_emb, pad_keep,
+                                           cache)
+        # beams of one row are CONTIGUOUS (row-major (b, nb)): under a mesh
+        # the bn axis shards over ``data`` and every beam group stays
+        # shard-local.
+        cache = gpt_model.KVCache(
+            cs(jnp.repeat(cache.k, nb, axis=1), None, "data", "model"),
+            cs(jnp.repeat(cache.v, nb, axis=1), None, "data", "model"))
+        pad_keep_n = jnp.repeat(pad_keep, nb, axis=0)
+        base_keep = jnp.concatenate(
+            [pad_keep_n, jnp.ones((bn, max_steps), bool)], axis=1)
 
     seen0 = jnp.zeros((bn, vocab), bool)
     seen0 = seen0.at[:, sc.fake_prefix_id].set(True)
@@ -372,8 +390,10 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
 
     # --- beam-history reorder ----------------------------------------------
     # The HF `_reorder_cache` equivalent (gpt/model.py:194-207) gathers the
-    # FULL cache per step. Strategies (static ``reorder``):
-    #  "gen"     (default) — reorder only the generated region [s0, s0+max):
+    # FULL cache per step. Strategies (static ``reorder``; default "flat" —
+    # fastest measured on TPU, ~0.6 ms/step vs ~14 ms for the
+    # take_along_axis strategies at B=16·nb=3; tools/profile_beam_step.py):
+    #  "gen"     — reorder only the generated region [s0, s0+max):
     #            the prefix [0, s0) is identical across a row's beams (it was
     #            repeated from one prefill), so skipping it statically saves
     #            its traffic every step with no data-dependent control flow;
@@ -389,6 +409,36 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     n_blocks = (max_steps + SB - 1) // SB
 
     def reorder_cache(cache, src, j):
+        if reorder == "splitnone":
+            # PROFILING ONLY: split cache without the reorder (wrong
+            # numerics on non-identity permutations) — isolates the split
+            # attention step's cost in tools/profile_beam_step.py.
+            return cache
+        if split:
+            # gen-region-only permutation, no slice/DUS dance. Single chip:
+            # block-diagonal one-hot matmul over the FULL bn axis — the MXU
+            # permutes while the cache streams through HBM exactly once
+            # (~2× the throughput of a take gather at this shape;
+            # tools/microbench_reorder.py). Under a mesh: per-row-group
+            # (nb×nb) einsum so every term stays shard-local on ``data``.
+            if mesh is None:
+                src_flat = (jnp.arange(b, dtype=src.dtype)[:, None] * nb
+                            + src).reshape(bn)
+                p = jax.nn.one_hot(src_flat, bn, dtype=cache.kg.dtype)
+                def do(arr):
+                    return jnp.einsum("ij,ljhgd->lihgd", p, arr)
+            else:
+                pg = jax.nn.one_hot(src, nb, dtype=cache.kg.dtype)  # (b,nb,nb)
+                def do(arr):
+                    L_, _, H_, G_, D_ = arr.shape
+                    g = arr.reshape(L_, b, nb, H_, G_, D_)
+                    g = jnp.einsum("bij,lbjhgd->lbihgd", pg, g)
+                    return g.reshape(L_, bn, H_, G_, D_)
+            return gpt_model.SplitCache(
+                cache.kp, cache.vp,
+                cs(do(cache.kg), None, "data", "model"),
+                cs(do(cache.vg), None, "data", "model"))
+
         idx = src[None, :, :, None, None, None]     # (1, b, nb, 1, 1, 1)
         k, v = cache
 
@@ -592,10 +642,14 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         key, sub = jax.random.split(key)
         emb = (jnp.take(params["mel_emb"]["w"], prev, axis=0)
                + params["mel_pos"]["w"][j + 1]).astype(prefix_emb.dtype)
-        slot = s0 + j - 1
-        kk = base_keep & (jnp.arange(s_total)[None, :] <= slot)
-        hh, cache = gpt_model.trunk_decode_step(params, cfg, emb, cache,
-                                                slot, kk)
+        if split:
+            hh, cache = gpt_model.trunk_decode_step_split(
+                params, cfg, emb, cache, j - 1, pad_keep, nb)
+        else:
+            slot = s0 + j - 1
+            kk = base_keep & (jnp.arange(s_total)[None, :] <= slot)
+            hh, cache = gpt_model.trunk_decode_step(params, cfg, emb, cache,
+                                                    slot, kk)
         logp = penalised_logp(hh, seen)
         cand, src, tok, best = select_candidates(logp, beam_scores, sub)
         (tokens, beam_scores, prev, cache, seen, pool_norm, pool_tok,

@@ -243,6 +243,92 @@ def trunk_decode_step(params: Params, cfg: GPTConfig, x: jnp.ndarray,
     return h, KVCache(k_all, v_all)
 
 
+class SplitCache(NamedTuple):
+    """Beam-decode KV cache split into a frozen prefix and a generated
+    region (decode.py beam path).
+
+    The prefix [cond·text·start_mel] is IDENTICAL across the nb beams of a
+    batch row (it is built once per row and only logically repeated), and it
+    is never reordered by the beam machinery — so it is stored ONCE per
+    batch row and shared at attention time. Only the generated region (one
+    slot per decode step, physically distinct per beam) is reordered on
+    beam-ancestry switches. This removes the prefix from the per-step
+    reorder traffic entirely and dedups its attention reads nb×.
+
+    Replaces the role of HF `_reorder_cache`'s full-cache gather
+    (gpt/model.py:194-207) with a gen-region-only permutation.
+    """
+    kp: jnp.ndarray  # (L, B,  H, S0, D) prefix keys — frozen after prefill
+    vp: jnp.ndarray  # (L, B,  H, S0, D)
+    kg: jnp.ndarray  # (L, BN, H, G,  D) generated-region keys (BN = B·nb)
+    vg: jnp.ndarray  # (L, BN, H, G,  D)
+
+
+def init_gen_cache(cfg: GPTConfig, bn: int, gen_len: int,
+                   dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    shape = (cfg.layers, bn, cfg.heads, gen_len, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def trunk_decode_step_split(params: Params, cfg: GPTConfig, x: jnp.ndarray,
+                            cache: SplitCache, slot: jnp.ndarray,
+                            keep_p: jnp.ndarray, nb: int
+                            ) -> Tuple[jnp.ndarray, SplitCache]:
+    """One beam decode step over a SplitCache. x (BN, C) current-token
+    embeddings; ``slot`` the gen-region slot this step writes (attention
+    covers gen slots <= slot); keep_p (B, S0) prefix validity (shared by a
+    row's beams). Returns hidden (BN, C) after ln_f + the updated cache."""
+    params = _ensure_stacked(params)
+    bn = x.shape[0]
+    b = bn // nb
+    g_len = cache.kg.shape[3]
+    # layer loop unrolled: see trunk_decode_step NOTE (scan-in-while_loop is
+    # pathological for this backend's compiler)
+    pbias = jnp.where(keep_p, 0.0, -1e30).astype(jnp.float32)  # (B, S0)
+    pbias = pbias[:, None, None, :]                            # (B,1,1,S0)
+    gbias = jnp.where(jnp.arange(g_len)[None, :] <= slot, 0.0,
+                      -1e30).astype(jnp.float32)[:, None, None, :]  # (1,1,1,G)
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    blocks = params["blocks"]
+    kg_all, vg_all = cache.kg, cache.vg
+    for li in range(cfg.layers):
+        blk = jax.tree.map(lambda a: a[li], blocks)
+        h = nn.layer_norm(blk["ln1"], x)
+        qkv = nn.linear(blk["attn"]["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)                   # (BN, C)
+        q = q.reshape(bn, cfg.heads, cfg.head_dim)             # (BN,H,D)
+        k = k.reshape(bn, cfg.heads, cfg.head_dim)
+        v = v.reshape(bn, cfg.heads, cfg.head_dim)
+        kg_all = jax.lax.dynamic_update_slice(
+            kg_all, k[None, :, :, None].astype(kg_all.dtype), (li, 0, 0, slot, 0))
+        vg_all = jax.lax.dynamic_update_slice(
+            vg_all, v[None, :, :, None].astype(vg_all.dtype), (li, 0, 0, slot, 0))
+        # prefix attention: one prefix per batch row, shared by its beams
+        qb = q.reshape(b, nb, cfg.heads, cfg.head_dim)
+        lp = jnp.einsum("bnhd,bhsd->bnhs", qb,
+                        cache.kp[li].astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+        lp = lp + pbias                                        # (B,nb,H,S0)
+        lg = jnp.einsum("bhd,bhgd->bhg", q, kg_all[li].astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+        lg = lg.reshape(b, nb, cfg.heads, g_len) + gbias       # (B,nb,H,G)
+        logits = jnp.concatenate([lp, lg], axis=-1)            # (B,nb,H,S0+G)
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        s0 = cache.kp.shape[3]
+        wp, wg = w[..., :s0], w[..., s0:]
+        o = jnp.einsum("bnhs,bhsd->bnhd", wp, cache.vp[li].astype(x.dtype),
+                       preferred_element_type=x.dtype)
+        o = o + jnp.einsum("bnhg,bnhgd->bnhd", wg,
+                           vg_all[li].astype(x.dtype).reshape(
+                               b, nb, cfg.heads, g_len, cfg.head_dim),
+                           preferred_element_type=x.dtype)
+        o = o.reshape(bn, cfg.heads * cfg.head_dim)
+        x = x + nn.linear(blk["attn"]["proj"], o)
+        x = x + _mlp(cfg, blk["mlp"], nn.layer_norm(blk["ln2"], x))
+    h = nn.layer_norm(params["ln_f"], x)
+    return h, SplitCache(cache.kp, cache.vp, kg_all, vg_all)
+
+
 # ---------------------------------------------------------------------------
 # UnifiedVoice-level ops
 # ---------------------------------------------------------------------------

@@ -81,3 +81,29 @@ def test_beam3_valid_and_not_worse(setup):
     s1 = path_score(np.asarray(b1.codes)[0], int(b1.lengths[0]))
     s3 = path_score(codes[0], int(b3.lengths[0]))
     assert s3 >= s1 - 1e-3
+
+
+@pytest.mark.parametrize("stochastic", [False, True])
+def test_reorder_strategies_token_identical(setup, stochastic):
+    """Every cache-reorder strategy is a pure layout optimization: tokens,
+    lengths and step counts must match the HF-faithful "full" gather exactly
+    (the fast "flat" strategy is the production default)."""
+    cfg, params, _, _ = setup
+    rng = np.random.default_rng(11)
+    texts = [rng.integers(2, 80, size=n).astype(np.int64) for n in (8, 5, 7)]
+    conds = rng.standard_normal((3, 32, 64)).astype(np.float32)
+    pre = decode.prepare_prefix_host(cfg, texts)
+    emb, keep = decode.build_prefix_emb(params, cfg, conds, pre["ids"],
+                                        pre["pos"], pre["seg"],
+                                        pre["cond_idx"])
+    sc = decode.SamplingConfig(do_sample=stochastic, max_mel_tokens=14)
+    key = jax.random.PRNGKey(7)
+    ref = decode._beam_decode(params, cfg, sc, emb, keep, key, 3, 0.6,
+                              stochastic=stochastic, reorder="full")
+    for strat in ("split", "flat", "flatfull", "gen", "mm", "blocked"):
+        out = decode._beam_decode(params, cfg, sc, emb, keep, key, 3, 0.6,
+                                  stochastic=stochastic, reorder=strat)
+        np.testing.assert_array_equal(np.asarray(ref.codes),
+                                      np.asarray(out.codes), err_msg=strat)
+        np.testing.assert_array_equal(np.asarray(ref.lengths),
+                                      np.asarray(out.lengths), err_msg=strat)
