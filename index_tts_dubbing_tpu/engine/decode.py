@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from index_tts_dubbing_tpu import nn
 from index_tts_dubbing_tpu.models import gpt as gpt_model
+from index_tts_dubbing_tpu.ops import pallas_permute
 from index_tts_dubbing_tpu.models.gpt import GPTConfig, KVCache
 
 SEG_PAD, SEG_COND, SEG_TEXT = 0, 1, 2
@@ -334,12 +335,13 @@ def _warp_scores(scores: jnp.ndarray, sc: SamplingConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg", "sc", "num_beams", "stochastic",
-                                   "mesh", "reorder"))
+                                   "mesh", "reorder", "debug_state"))
 def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                  prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
                  rng: jax.Array, num_beams: int, length_penalty: float,
                  stochastic: bool, mesh: Optional[Mesh] = None,
-                 reorder: str = "split") -> GenerateResult:
+                 reorder: str = "split",
+                 debug_state: bool = False) -> GenerateResult:
     b, s0, c = prefix_emb.shape
     nb = num_beams
     bn = b * nb
@@ -353,7 +355,12 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     cs = _mk_constrain(mesh)
     prefix_emb = cs(prefix_emb, "data")
 
-    split = reorder in ("split", "splitnone")
+    if reorder == "cof" and mesh is not None:
+        # the copy-on-fork Pallas kernel is single-chip; the mesh path uses
+        # the shard-local grouped einsum permutation instead
+        reorder = "split"
+    cof = reorder in ("cof", "cofdense")
+    split = reorder in ("split", "splitnone", "cof", "cofdense")
     if split:
         # SplitCache: the prefix is stored ONCE per batch row (frozen,
         # shared by its beams at attention time); only the generated region
@@ -390,9 +397,25 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
 
     # --- beam-history reorder ----------------------------------------------
     # The HF `_reorder_cache` equivalent (gpt/model.py:194-207) gathers the
-    # FULL cache per step. Strategies (static ``reorder``; default "flat" —
-    # fastest measured on TPU, ~0.6 ms/step vs ~14 ms for the
-    # take_along_axis strategies at B=16·nb=3; tools/profile_beam_step.py):
+    # FULL cache per step. Strategies (static ``reorder``), measured at
+    # B=16·nb=3·192 steps on TPU v5e (tools/profile_beam_step.py r03;
+    # no-reorder baseline 5.2 ms/step):
+    #  "split"  (DEFAULT, 17.6 ms/step) — SplitCache + full-bn one-hot MXU
+    #           einsum over the gen region. The einsum streams the cache
+    #           through HBM exactly once (~205 GB/s effective) — 2.4-3×
+    #           any gather lowering at these shapes.
+    #  "cof"    (13.6 ms/step) — copy-on-fork row indirection: only forked
+    #           beams copy history, via a Pallas HBM→HBM DMA kernel
+    #           (ops/pallas_permute.py). Structurally the cheapest reorder
+    #           (fork-proportional traffic), but this backend charges a
+    #           fixed ~10 ms per pallas_call INSIDE device loops (measured
+    #           on a trivial kernel), so the win is capped; kept as the
+    #           reference design for backends without that overhead.
+    #           Note: under bf16 on TPU, cof/split token streams can
+    #           diverge from "full" on near-tie candidates (program-level
+    #           rounding, ~2e-3 logits); all strategies are BIT-identical
+    #           on CPU (tests/test_beam.py).
+    #  Legacy single-buffer strategies (gather the repeated-prefix cache):
     #  "gen"     — reorder only the generated region [s0, s0+max):
     #            the prefix [0, s0) is identical across a row's beams (it was
     #            repeated from one prefill), so skipping it statically saves
@@ -408,12 +431,67 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     SB = 128
     n_blocks = (max_steps + SB - 1) // SB
 
-    def reorder_cache(cache, src, j):
+    def reorder_cache(cache, src, j, m, inv):
+        """Apply the beam-ancestry switch ``src`` (b, nb logical sources) to
+        the cache. Returns (cache', m', inv') — the logical→physical /
+        physical→logical row maps only change under the "cof" strategy; all
+        other strategies physically reorder and keep identity maps."""
         if reorder == "splitnone":
             # PROFILING ONLY: split cache without the reorder (wrong
             # numerics on non-identity permutations) — isolates the split
             # attention step's cost in tools/profile_beam_step.py.
-            return cache
+            return cache, m, inv
+        if cof:
+            # Copy-on-fork with row indirection: beams that survive stay in
+            # their physical rows (map update only); each FORKED beam copies
+            # its ancestor's generated history [0, j) into a physical row
+            # freed by a dead beam. Sources (kept rows) and destinations
+            # (freed rows) are disjoint, so the copy runs in place on the
+            # aliased buffers (ops/pallas_permute.py:copy_on_fork) and the
+            # average reorder traffic drops from the full gen region to
+            # fork_rate · occupied-prefix. The trunk step runs in PHYSICAL
+            # row order (emb permuted by inv, hidden gathered back by m).
+            m2 = m.reshape(b, nb) - jnp.arange(b, dtype=m.dtype)[:, None] * nb
+            src_phys = jnp.take_along_axis(m2, src, axis=1)       # (b, nb)
+            eq = src[:, :, None] == src[:, None, :]
+            lower = jnp.tril(jnp.ones((nb, nb), bool), -1)
+            first_claim = ~jnp.any(eq & lower[None], axis=2)      # (b, nb)
+            kept = jnp.any(src_phys[:, :, None]
+                           == jnp.arange(nb)[None, None, :], axis=1)  # (b,nb)
+            order = jnp.argsort(kept.astype(jnp.int32), axis=1,
+                                stable=True)                # free rows first
+            fork_rank = jnp.clip(jnp.cumsum(~first_claim, axis=1) - 1, 0)
+            free_for_rank = jnp.take_along_axis(order, fork_rank, axis=1)
+            m_new2 = jnp.where(first_claim, src_phys, free_for_rank)
+            bi = jnp.arange(b)[:, None]
+            cp2 = jnp.full((b, nb), -1, jnp.int32).at[bi, m_new2].set(
+                jnp.where(first_claim, -1, src_phys))
+            off = (jnp.arange(b, dtype=jnp.int32)[:, None] * nb)
+            cp_flat = jnp.where(cp2 >= 0, off + cp2, -1).reshape(bn)
+            m_flat = (off + m_new2).reshape(bn).astype(jnp.int32)
+            inv2 = jnp.zeros((b, nb), jnp.int32).at[bi, m_new2].set(
+                jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32), (b, nb)))
+            inv_flat = (off + inv2).reshape(bn).astype(jnp.int32)
+            bound = jnp.asarray(j - 1, jnp.int32)
+            if jax.default_backend() == "tpu":
+                kg2, vg2 = pallas_permute.copy_on_fork(
+                    cache.kg, cache.vg, cp_flat, bound)
+            else:
+                idx = jnp.where(cp_flat >= 0, cp_flat,
+                                jnp.arange(bn, dtype=jnp.int32))
+                kg2 = jnp.take(cache.kg, idx, axis=1)
+                vg2 = jnp.take(cache.vg, idx, axis=1)
+            if reorder == "cofdense":
+                # DIAGNOSTIC: apply the copy-on-fork copies, then normalise
+                # back to identity maps with a dense gather — isolates the
+                # copy/bookkeeping logic from the physical/logical
+                # transposition of the trunk step.
+                kg2 = jnp.take(kg2, m_flat, axis=1)
+                vg2 = jnp.take(vg2, m_flat, axis=1)
+                return (gpt_model.SplitCache(cache.kp, cache.vp, kg2, vg2),
+                        m, inv)
+            return (gpt_model.SplitCache(cache.kp, cache.vp, kg2, vg2),
+                    m_flat, inv_flat)
         if split:
             # gen-region-only permutation, no slice/DUS dance. Single chip:
             # block-diagonal one-hot matmul over the FULL bn axis — the MXU
@@ -437,7 +515,7 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
             return gpt_model.SplitCache(
                 cache.kp, cache.vp,
                 cs(do(cache.kg), None, "data", "model"),
-                cs(do(cache.vg), None, "data", "model"))
+                cs(do(cache.vg), None, "data", "model")), m, inv
 
         idx = src[None, :, :, None, None, None]     # (1, b, nb, 1, 1, 1)
         k, v = cache
@@ -505,16 +583,16 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                 return jax.lax.dynamic_update_slice_in_dim(
                     arr, g.reshape(L, bn, H, width, D), lo, axis=3)
 
-            for m in range(n_blocks):
-                lo = s0 + m * SB
-                width = min(SB, max_steps - m * SB)
-                pred = (jnp.int32(m * SB) <= j - 1) & ~identity
+            for mb in range(n_blocks):
+                lo = s0 + mb * SB
+                width = min(SB, max_steps - mb * SB)
+                pred = (jnp.int32(mb * SB) <= j - 1) & ~identity
                 k = jax.lax.cond(pred, lambda a: do_block(a, lo, width),
                                  lambda a: a, k)
                 v = jax.lax.cond(pred, lambda a: do_block(a, lo, width),
                                  lambda a: a, v)
         return gpt_model.KVCache(cs(k, None, "data", "model"),
-                                 cs(v, None, "data", "model"))
+                                 cs(v, None, "data", "model")), m, inv
 
     def penalised_logp(h_, seen):
         logits = gpt_model.mel_logits_from_hidden(params, h_).astype(
@@ -553,7 +631,7 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         return cand, idx // vocab, (idx % vocab).astype(jnp.int32), best_next
 
     def process(cand, src_beam, tok, best_next, j, tokens, cache, seen,
-                pool_norm, pool_tok, pool_len, done):
+                pool_norm, pool_tok, pool_len, done, m, inv):
         """BeamSearchScorer.process + BeamHypotheses pool. j = tokens
         generated before this step; eos hypotheses have generated_len j+1
         (eos counted, HF 4.36 `generated_len = cur_len - decoder_prompt_len`
@@ -598,7 +676,7 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         seen = jnp.take_along_axis(
             seen.reshape(b, nb, -1), new_src[..., None], axis=1
         ).reshape(bn, -1)
-        cache = reorder_cache(cache, new_src, j)
+        cache, m, inv = reorder_cache(cache, new_src, j, m, inv)
         tokens = jnp.where(done[jnp.arange(bn) // nb, None], tokens,
                            tokens.at[:, j].set(new_tok))
         seen = seen.at[jnp.arange(bn), new_tok].set(True)
@@ -609,7 +687,7 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         worst = jnp.min(pool_norm, axis=1)
         done = done | (pool_full & (worst >= attainable))
         return (tokens, new_scores, new_tok, cache, seen, pool_norm,
-                pool_tok, pool_len, done)
+                pool_tok, pool_len, done, m, inv)
 
     # ---- step 0 (prefill hidden state). beam_search masks duplicate beams;
     # beam_sample keeps all-zero scores (samples over nb identical copies).
@@ -626,10 +704,13 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     pool_tok0 = jnp.full((b, nb, max_steps), cfg.stop_mel_token, jnp.int32)
     pool_len0 = jnp.zeros((b, nb), jnp.int32)
     done0 = jnp.zeros((b,), bool)
+    m0 = jnp.arange(bn, dtype=jnp.int32)   # logical→physical row map (cof)
+    inv0 = jnp.arange(bn, dtype=jnp.int32)  # physical→logical row map (cof)
     cand, src, tok, best = select_candidates(logp0, beam_scores0, sub0)
     (tokens, beam_scores, prev, cache, seen, pool_norm, pool_tok, pool_len,
-     done) = process(cand, src, tok, best, 0, tokens0, cache, seen0,
-                     pool_norm0, pool_tok0, pool_len0, done0)
+     done, m, inv) = process(cand, src, tok, best, 0, tokens0, cache, seen0,
+                             pool_norm0, pool_tok0, pool_len0, done0,
+                             m0, inv0)
 
     def cond_fn(state):
         j = state[0]
@@ -638,11 +719,20 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
 
     def body_fn(state):
         (j, tokens, prev, beam_scores, cache, seen, pool_norm, pool_tok,
-         pool_len, done, key) = state
+         pool_len, done, key, m, inv) = state
         key, sub = jax.random.split(key)
         emb = (jnp.take(params["mel_emb"]["w"], prev, axis=0)
                + params["mel_pos"]["w"][j + 1]).astype(prefix_emb.dtype)
-        if split:
+        if cof:
+            # the trunk step runs in PHYSICAL row order: permute the token
+            # embeddings in (by the physical→logical map) and gather the
+            # hidden states back out (by the logical→physical map) — two
+            # (bn, C) gathers instead of a gen-cache-sized reorder
+            hh, cache = gpt_model.trunk_decode_step_split(
+                params, cfg, jnp.take(emb, inv, axis=0), cache, j - 1,
+                pad_keep, nb)
+            hh = jnp.take(hh, m, axis=0)
+        elif split:
             hh, cache = gpt_model.trunk_decode_step_split(
                 params, cfg, emb, cache, j - 1, pad_keep, nb)
         else:
@@ -653,15 +743,16 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         logp = penalised_logp(hh, seen)
         cand, src, tok, best = select_candidates(logp, beam_scores, sub)
         (tokens, beam_scores, prev, cache, seen, pool_norm, pool_tok,
-         pool_len, done) = process(cand, src, tok, best, j, tokens, cache,
-                                   seen, pool_norm, pool_tok, pool_len, done)
+         pool_len, done, m, inv) = process(cand, src, tok, best, j, tokens,
+                                           cache, seen, pool_norm, pool_tok,
+                                           pool_len, done, m, inv)
         return (j + 1, tokens, prev, beam_scores, cache, seen, pool_norm,
-                pool_tok, pool_len, done, key)
+                pool_tok, pool_len, done, key, m, inv)
 
     state = (jnp.int32(1), tokens, prev, beam_scores, cache, seen,
-             pool_norm, pool_tok, pool_len, done, key0)
-    (j, tokens, _, beam_scores, _, _, pool_norm, pool_tok, pool_len, done,
-     _) = jax.lax.while_loop(cond_fn, body_fn, state)
+             pool_norm, pool_tok, pool_len, done, key0, m, inv)
+    (j, tokens, _, beam_scores, fin_cache, _, pool_norm, pool_tok, pool_len,
+     done, _, fin_m, fin_inv) = jax.lax.while_loop(cond_fn, body_fn, state)
 
     # ---- finalize: open beams of not-done batches join the pool at
     # generated_len = max_steps (HF finalize semantics)
@@ -681,7 +772,10 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     ar = jnp.arange(max_steps)[None, :]
     out_tokens = jnp.where(ar < out_len[:, None], out_tokens,
                            cfg.stop_mel_token)
-    return GenerateResult(out_tokens, out_len.astype(jnp.int32), j)
+    res = GenerateResult(out_tokens, out_len.astype(jnp.int32), j)
+    if debug_state:
+        return res, fin_cache, fin_m, fin_inv, tokens
+    return res
 
 
 def generate_beam(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,

@@ -153,6 +153,90 @@ def permute_gen_cache_burst(kg: jnp.ndarray, vg: jnp.ndarray,
     return (k2.reshape(kg.shape), v2.reshape(vg.shape))
 
 
+@partial(jax.jit, static_argnames=("gb", "interpret"))
+def copy_on_fork(kg: jnp.ndarray, vg: jnp.ndarray, cp: jnp.ndarray,
+                 bound: jnp.ndarray, gb: int = 64, interpret: bool = False):
+    """Copy-on-fork gen-cache update: row r is overwritten with row
+    ``cp[r]``'s slots [0, bound] when ``cp[r] >= 0``; rows with cp[r] < 0
+    are left untouched (the buffers are input/output-aliased, so untouched
+    rows cost nothing).
+
+    This is the reorder primitive for the indirection-based beam decode
+    (engine/decode.py reorder="cof"): beams that survive in place never
+    move, only FORKED beams copy their ancestor's generated history into a
+    freed physical row. Sources (kept rows) and destinations (freed rows)
+    are disjoint by construction, so the in-place aliasing has no
+    read-write hazard. Average traffic ≈ fork_rate · occupied-prefix — a
+    small fraction of the full permutation's.
+
+    DMA alignment: block slices must be 128-lane-aligned and tile g_len
+    exactly; ``gb`` is shrunk to the largest divisor of g_len with
+    (gb·d) % 128 == 0. If none exists (tiny test shapes), falls back to a
+    dense XLA gather with identity rows for cp < 0 — same semantics.
+
+    DMA shape: the cache is viewed 4D as (L, bn, h, G·D) so ONE strided
+    descriptor per (row, G-block) spans ALL layers (tiling constraints
+    apply only to the trailing (h, G·D) dims; the bn middle dim takes the
+    scalar row index) — ≤ 2·nblk DMAs per grid program instead of 2·L·nblk,
+    keeping the kernel bandwidth-bound rather than issue-bound.
+    """
+    L, bn, h, g_len, d = kg.shape
+    gb = min(gb, g_len)
+    while gb > 0 and (g_len % gb != 0 or (gb * d) % 128 != 0):
+        gb -= 1
+    if gb == 0:
+        idx = jnp.where(cp >= 0, cp, jnp.arange(bn, dtype=cp.dtype))
+        return jnp.take(kg, idx, axis=1), jnp.take(vg, idx, axis=1)
+    nblk = g_len // gb
+    blk = gb * d
+    kf = kg.reshape(L, bn, h, g_len * d)
+    vf = vg.reshape(L, bn, h, g_len * d)
+
+    def kernel(cp_ref, bound_ref, k_in, v_in, k_out, v_out, sk, sv):
+        i = pl.program_id(0)
+        src = cp_ref[i]
+
+        for g in range(nblk):
+            live = (src >= 0) & (g * gb <= bound_ref[0])
+
+            @pl.when(live)
+            def _copy(g=g):
+                sl = pl.ds(g * blk, blk)
+                pltpu.make_async_copy(k_in.at[:, src, :, sl],
+                                      k_out.at[:, i, :, sl], sk.at[g]).start()
+                pltpu.make_async_copy(v_in.at[:, src, :, sl],
+                                      v_out.at[:, i, :, sl], sv.at[g]).start()
+
+        for g in range(nblk):
+            live = (src >= 0) & (g * gb <= bound_ref[0])
+
+            @pl.when(live)
+            def _wait(g=g):
+                sl = pl.ds(g * blk, blk)
+                pltpu.make_async_copy(k_in.at[:, src, :, sl],
+                                      k_out.at[:, i, :, sl], sk.at[g]).wait()
+                pltpu.make_async_copy(v_in.at[:, src, :, sl],
+                                      v_out.at[:, i, :, sl], sv.at[g]).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bn,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((nblk,)),
+                        pltpu.SemaphoreType.DMA((nblk,))],
+    )
+    out_shape = [jax.ShapeDtypeStruct(kf.shape, kg.dtype),
+                 jax.ShapeDtypeStruct(vf.shape, vg.dtype)]
+    k2, v2 = pl.pallas_call(
+        kernel, out_shape=out_shape, grid_spec=grid_spec,
+        input_output_aliases={2: 0, 3: 1},
+        interpret=interpret)(cp, bound.reshape(1), kf, vf)
+    return (k2.reshape(kg.shape), v2.reshape(vg.shape))
+
+
 @jax.jit
 def permute_gen_cache_pipelined(kg: jnp.ndarray, vg: jnp.ndarray,
                                 src_idx: jnp.ndarray):
