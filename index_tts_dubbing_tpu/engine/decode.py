@@ -364,7 +364,13 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     if split:
         # SplitCache: the prefix is stored ONCE per batch row (frozen,
         # shared by its beams at attention time); only the generated region
-        # (L, bn, H, max_steps, D) exists per beam and is ever reordered.
+        # (L, bn, H, G, D) exists per beam and is ever reordered.
+        #
+        # (A two-phase STAGED gen cache — 96 slots then full-size with a
+        # migration copy — was implemented and measured r03: parity-exact
+        # but 18.1 vs 17.6 ms/step (the in-loop reorder cost is overhead-
+        # bound, not bandwidth-bound) at 4.7x the compile time, so it was
+        # removed.)
         pcache = gpt_model.init_cache(cfg, b, s0, dtype=prefix_emb.dtype)
         h, pcache = gpt_model.trunk_prefill(params, cfg, prefix_emb,
                                             pad_keep, pcache)
@@ -712,11 +718,6 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                              pool_norm0, pool_tok0, pool_len0, done0,
                              m0, inv0)
 
-    def cond_fn(state):
-        j = state[0]
-        done = state[9]
-        return (j < max_steps) & (~jnp.all(done))
-
     def body_fn(state):
         (j, tokens, prev, beam_scores, cache, seen, pool_norm, pool_tok,
          pool_len, done, key, m, inv) = state
@@ -748,6 +749,9 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                                            pool_len, done, m, inv)
         return (j + 1, tokens, prev, beam_scores, cache, seen, pool_norm,
                 pool_tok, pool_len, done, key, m, inv)
+
+    def cond_fn(st):
+        return (st[0] < max_steps) & (~jnp.all(st[9]))
 
     state = (jnp.int32(1), tokens, prev, beam_scores, cache, seen,
              pool_norm, pool_tok, pool_len, done, key0, m, inv)

@@ -107,3 +107,25 @@ def test_reorder_strategies_token_identical(setup, stochastic):
                                       np.asarray(out.codes), err_msg=strat)
         np.testing.assert_array_equal(np.asarray(ref.lengths),
                                       np.asarray(out.lengths), err_msg=strat)
+
+
+def test_long_decode_split_parity(setup):
+    """Longer-than-96-step decode through the split cache matches the
+    single-buffer HF-faithful "full" strategy exactly."""
+    cfg, params, _, _ = setup
+    rng = np.random.default_rng(5)
+    texts = [rng.integers(2, 80, size=n).astype(np.int64) for n in (8, 6)]
+    conds = rng.standard_normal((2, 32, 64)).astype(np.float32)
+    pre = decode.prepare_prefix_host(cfg, texts)
+    emb, keep = decode.build_prefix_emb(params, cfg, conds, pre["ids"],
+                                        pre["pos"], pre["seg"],
+                                        pre["cond_idx"])
+    sc = decode.SamplingConfig(do_sample=True, max_mel_tokens=112)
+    key = jax.random.PRNGKey(3)
+    ref = decode._beam_decode(params, cfg, sc, emb, keep, key, 3, 0.3,
+                              stochastic=True, reorder="full")
+    out = decode._beam_decode(params, cfg, sc, emb, keep, key, 3, 0.3,
+                              stochastic=True, reorder="split")
+    np.testing.assert_array_equal(np.asarray(ref.codes), np.asarray(out.codes))
+    np.testing.assert_array_equal(np.asarray(ref.lengths),
+                                  np.asarray(out.lengths))

@@ -27,8 +27,11 @@ Usage:
                               [--batch 4] [--full-size]
 """
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
