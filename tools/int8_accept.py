@@ -97,6 +97,14 @@ def main(argv=None):
     base_keep = np.concatenate(
         [np.asarray(keep_f), np.ones((b, steps), bool)], axis=1)
 
+    # jit the per-step calls — run eagerly they dispatch hundreds of ops per
+    # step over the remote link (~30 ms RTT each) and never finish
+    logits_j = jax.jit(gpt_model.mel_logits_from_hidden)
+
+    @jax.jit
+    def step_j(p, e, cache, slot, kk):
+        return gpt_model.trunk_decode_step(p, cfg, e, cache, slot, kk)
+
     flips = 0
     top30 = []
     beam_overlap = []
@@ -104,10 +112,8 @@ def main(argv=None):
     prev = None
     t0 = time.perf_counter()
     for j in range(steps):
-        lf = np.asarray(gpt_model.mel_logits_from_hidden(params, h_f),
-                        np.float32)
-        lq = np.asarray(gpt_model.mel_logits_from_hidden(q_params, h_q),
-                        np.float32)
+        lf = np.asarray(logits_j(params, h_f), np.float32)
+        lq = np.asarray(logits_j(q_params, h_q), np.float32)
         d = np.abs(lf - lq)
         dmax_all.append(d.max())
         rng_row = lf.max(axis=1) - lf.min(axis=1)
@@ -127,10 +133,8 @@ def main(argv=None):
         slot = s0 + j
         kk = jnp.asarray(base_keep) & (
             jnp.arange(s0 + steps)[None, :] <= slot)
-        h_f, cache_f = gpt_model.trunk_decode_step(params, cfg, e, cache_f,
-                                                   slot, kk)
-        h_q, cache_q = gpt_model.trunk_decode_step(q_params, cfg, e, cache_q,
-                                                   slot, kk)
+        h_f, cache_f = step_j(params, e, cache_f, slot, kk)
+        h_q, cache_q = step_j(q_params, e, cache_q, slot, kk)
 
     n_dec = steps * b
     flip_rate = flips / n_dec
