@@ -355,8 +355,8 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     cs = _mk_constrain(mesh)
     prefix_emb = cs(prefix_emb, "data")
 
-    if reorder == "cof" and mesh is not None:
-        # the copy-on-fork Pallas kernel is single-chip; the mesh path uses
+    if reorder in ("cof", "cofdense") and mesh is not None:
+        # the copy-on-fork Pallas kernels are single-chip; the mesh path uses
         # the shard-local grouped einsum permutation instead
         reorder = "split"
     cof = reorder in ("cof", "cofdense")

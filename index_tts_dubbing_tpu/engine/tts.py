@@ -104,6 +104,37 @@ def remove_long_silence_device(codes: jnp.ndarray, stop_mel_token: int = 8193,
     return out, lens
 
 
+def pad_tokens_cat(rows: List[np.ndarray], stop_text_token: int,
+                   start_text_token: int, version: Optional[float] = 1.5
+                   ) -> np.ndarray:
+    """Batch text rows by the reference's version-keyed padding
+    (infer.py:245-262): v1.5+ right-pads with stop_text_token; v1.0 pads
+    with up to 8 stop_text_tokens then start_text_tokens.
+
+    NOTE: the two styles are numerically equivalent through the decode
+    prefix builder — the reference's prepare_gpt_inputs strips ALL
+    start/stop text tokens per row before re-framing (model.py:616-619),
+    and prepare_prefix_host (engine/decode.py) mirrors that. The engine
+    therefore feeds UNPADDED rows straight to prepare_prefix_host and this
+    helper exists for surface parity (callers that want the reference's
+    batched-token layout); tests/test_engine.py proves the equivalence."""
+    max_len = max(r.size for r in rows)
+    out = np.empty((len(rows), max_len), np.int32)
+    for i, r in enumerate(rows):
+        r = np.asarray(r).reshape(-1)
+        pad = max_len - r.size
+        if version is not None and version >= 1.5:
+            row = np.concatenate(
+                [r, np.full(pad, stop_text_token, np.int32)])
+        else:
+            n = min(8, pad)
+            row = np.concatenate(
+                [r, np.full(n, stop_text_token, np.int32),
+                 np.full(pad - n, start_text_token, np.int32)])
+        out[i] = row[:max_len]
+    return out
+
+
 def bucket_sentences(sentences: Sequence, bucket_max_size: int = 4
                      ) -> List[List[Dict]]:
     """Length-sorted sentence bucketing (port of infer.py:188-243)."""

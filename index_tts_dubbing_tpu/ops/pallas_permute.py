@@ -4,7 +4,11 @@ The beam decode loop must permute the generated-region cache rows
 (L, BN, H, G, D) by a data-dependent beam→source map each step (the HF
 `_reorder_cache` role, reference gpt/model.py:194-207). XLA's lowerings for
 this are far off memory speed-of-light at decode shapes (jnp.take ≈ 54 GB/s
-effective, one-hot MXU einsum ≈ 174 GB/s; tools/microbench_reorder.py) —
+effective; the one-hot MXU einsum measured 174 GB/s in this kernel's
+development session and 205 GB/s in the chained/donated run recorded in
+docs/PERFORMANCE_NOTES.md — same tools/microbench_reorder.py primitive and
+540 MB (L, BN, H, G, D) shape, run-to-run spread; the 205 figure is the
+canonical one) —
 the op is a pure data movement problem, so this kernel does it as slab-level
 HBM→HBM DMAs driven by a scalar-prefetched index vector: grid program
 (l, i) copies slab ``l·BN + src_idx[i]`` to slab ``l·BN + i`` for both k
@@ -125,14 +129,35 @@ def permute_gen_cache_burst(kg: jnp.ndarray, vg: jnp.ndarray,
                         zbuf, v_out.at[li * bn + i, :, sl],
                         sv.at[li, g]).start()
 
+        # waits mirror the start-branch descriptors exactly (live blocks
+        # wait on the k_in/v_in-sourced copy, dead blocks on the zbuf fill):
+        # waiting with a mismatched source descriptor only works when byte
+        # counts coincide — a fragile pattern copy_on_fork already avoids.
         for g in range(nblk):
-            for li in range(L):
-                pltpu.make_async_copy(
-                    zbuf, k_out.at[li * bn + i, :, pl.ds(g * blk, blk)],
-                    sk.at[li, g]).wait()
-                pltpu.make_async_copy(
-                    zbuf, v_out.at[li * bn + i, :, pl.ds(g * blk, blk)],
-                    sv.at[li, g]).wait()
+            live = g * gb <= bound_ref[0]
+            sl = pl.ds(g * blk, blk)
+
+            @pl.when(live)
+            def _wait_copy(g=g, sl=sl):
+                for li in range(L):
+                    pltpu.make_async_copy(
+                        k_in.at[li * bn + row, :, sl],
+                        k_out.at[li * bn + i, :, sl],
+                        sk.at[li, g]).wait()
+                    pltpu.make_async_copy(
+                        v_in.at[li * bn + row, :, sl],
+                        v_out.at[li * bn + i, :, sl],
+                        sv.at[li, g]).wait()
+
+            @pl.when(jnp.logical_not(live))
+            def _wait_zero(g=g, sl=sl):
+                for li in range(L):
+                    pltpu.make_async_copy(
+                        zbuf, k_out.at[li * bn + i, :, sl],
+                        sk.at[li, g]).wait()
+                    pltpu.make_async_copy(
+                        zbuf, v_out.at[li * bn + i, :, sl],
+                        sv.at[li, g]).wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

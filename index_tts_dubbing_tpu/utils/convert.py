@@ -268,6 +268,42 @@ def convert_unified_voice(sd: StateDict, layers: int = 20,
     return p
 
 
+# --- DVAE -------------------------------------------------------------------
+
+def convert_dvae(sd: StateDict, num_layers: int = 2,
+                 num_resnet_blocks: int = 3) -> Dict[str, Any]:
+    """Reference DiscreteVAE state dict (dvae.pth) → models/dvae.py param
+    tree. Layer map per vqvae/xtts_dvae.py:201-320 at the IndexTTS config
+    (config.yaml:39-49): encoder = [conv-act]×L → ResBlock×R → 1×1 conv;
+    decoder = 1×1 conv → ResBlock×R → [nearest-×2-upsample conv-act]×L →
+    1×1 conv (use_transposed_convs: false); EMA codebook ``codebook.embed``.
+    """
+    def conv(prefix):
+        p = {"w": conv1d_w(sd[f"{prefix}.weight"])}
+        if f"{prefix}.bias" in sd:
+            p["b"] = sd[f"{prefix}.bias"]
+        return p
+
+    def res(base):
+        return {"c1": conv(f"{base}.0"), "c2": conv(f"{base}.2"),
+                "c3": conv(f"{base}.4")}
+
+    p: Dict[str, Any] = {
+        "enc_convs": [conv(f"encoder.{i}.0") for i in range(num_layers)],
+        "enc_res": [res(f"encoder.{num_layers + i}.net")
+                    for i in range(num_resnet_blocks)],
+        "enc_out": conv(f"encoder.{num_layers + num_resnet_blocks}"),
+        "dec_in": conv("decoder.0"),
+        "dec_res": [res(f"decoder.{1 + i}.net")
+                    for i in range(num_resnet_blocks)],
+        "dec_convs": [conv(f"decoder.{1 + num_resnet_blocks + i}.0.conv")
+                      for i in range(num_layers)],
+        "dec_out": conv(f"decoder.{1 + num_resnet_blocks + num_layers}"),
+        "codebook": {"embed": sd["codebook.embed"]},
+    }
+    return p
+
+
 # --- BigVGAN generator ------------------------------------------------------
 
 def convert_bigvgan(sd: StateDict, num_upsamples: int = 6,

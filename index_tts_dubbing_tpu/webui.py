@@ -59,7 +59,10 @@ def build_demo(tts, i18n=None, cases_path: str | None = None):
         with gr.Row():
             prompt = gr.Audio(label=i18n("Reference audio"), type="filepath")
             with gr.Column():
-                text = gr.TextArea(label=i18n("Text"))
+                # model version surfaced like the reference (webui.py:117)
+                text = gr.TextArea(
+                    label=i18n("Text"),
+                    info=f"model version {tts.model_version or '1.0'}")
                 infer_mode = gr.Radio(
                     [i18n("standard"), i18n("batch")],
                     value=i18n("standard"), label=i18n("Infer mode"))

@@ -87,7 +87,7 @@ def test_beam3_valid_and_not_worse(setup):
 def test_reorder_strategies_token_identical(setup, stochastic):
     """Every cache-reorder strategy is a pure layout optimization: tokens,
     lengths and step counts must match the HF-faithful "full" gather exactly
-    (the fast "flat" strategy is the production default)."""
+    (the SplitCache "split" strategy is the production default)."""
     cfg, params, _, _ = setup
     rng = np.random.default_rng(11)
     texts = [rng.integers(2, 80, size=n).astype(np.int64) for n in (8, 5, 7)]

@@ -21,37 +21,12 @@ def ref_dvae():
 
 
 def _convert(ref, cfg):
+    """Production converter applied to an in-memory reference module."""
     from index_tts_dubbing_tpu.utils.convert import (
-        conv1d_w, torch_module_state_dict)
-    sd = torch_module_state_dict(ref)
-
-    def conv(prefix):
-        p = {"w": conv1d_w(sd[f"{prefix}.weight"])}
-        if f"{prefix}.bias" in sd:
-            p["b"] = sd[f"{prefix}.bias"]
-        return p
-
-    n_layers = cfg.num_layers
-    n_res = cfg.num_resnet_blocks
-    # encoder: Sequential = [conv+act]*L, ResBlock*R, conv1x1
-    p = {"enc_convs": [conv(f"encoder.{i}.0") for i in range(n_layers)],
-         "enc_res": [], "dec_res": [], "dec_convs": []}
-    for i in range(n_res):
-        base = f"encoder.{n_layers + i}.net"
-        p["enc_res"].append({"c1": conv(f"{base}.0"), "c2": conv(f"{base}.2"),
-                             "c3": conv(f"{base}.4")})
-    p["enc_out"] = conv(f"encoder.{n_layers + n_res}")
-    # decoder: [conv1x1(in), ResBlock*R, [upconv+act]*L, conv1x1(out)]
-    p["dec_in"] = conv("decoder.0")
-    for i in range(n_res):
-        base = f"decoder.{1 + i}.net"
-        p["dec_res"].append({"c1": conv(f"{base}.0"), "c2": conv(f"{base}.2"),
-                             "c3": conv(f"{base}.4")})
-    for i in range(n_layers):
-        p["dec_convs"].append(conv(f"decoder.{1 + n_res + i}.0.conv"))
-    p["dec_out"] = conv(f"decoder.{1 + n_res + n_layers}")
-    p["codebook"] = {"embed": sd["codebook.embed"]}
-    return p
+        convert_dvae, torch_module_state_dict)
+    return convert_dvae(torch_module_state_dict(ref),
+                        num_layers=cfg.num_layers,
+                        num_resnet_blocks=cfg.num_resnet_blocks)
 
 
 def test_dvae_parity(ref_dvae, rng):
@@ -69,6 +44,26 @@ def test_dvae_parity(ref_dvae, rng):
     np.testing.assert_array_equal(codes, ref_codes)
     dec = np.asarray(jdvae.decode(params, cfg, codes)).transpose(0, 2, 1)
     np.testing.assert_allclose(dec, ref_mel.numpy(), atol=2e-5)
+
+
+def test_dvae_convert_npz_roundtrip(ref_dvae, rng, tmp_path):
+    """convert_dvae output survives an npz save/load roundtrip and still
+    matches the reference codes (the tools/convert_checkpoints.py path)."""
+    from index_tts_dubbing_tpu.models import dvae as jdvae
+    from index_tts_dubbing_tpu.utils.checkpoint import (load_params,
+                                                        save_params)
+    cfg = jdvae.DVAEConfig(channels=100, num_tokens=512, hidden_dim=64,
+                           num_resnet_blocks=3, codebook_dim=64, num_layers=2)
+    params = _convert(ref_dvae, cfg)
+    save_params(tmp_path / "dvae.npz", params)
+    loaded = load_params(tmp_path / "dvae.npz")
+    mel = rng.standard_normal((1, 100, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref_codes = ref_dvae.get_codebook_indices(
+            torch.from_numpy(mel)).numpy()
+    codes = np.asarray(jdvae.get_codebook_indices(
+        loaded, cfg, mel.transpose(0, 2, 1)))
+    np.testing.assert_array_equal(codes, ref_codes)
 
 
 def test_dvae_train_loss(rng):

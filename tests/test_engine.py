@@ -57,6 +57,35 @@ def test_bucket_sentences():
         assert 1 <= len(b) <= 4
 
 
+def test_pad_tokens_cat_version_styles():
+    """pad_tokens_cat reproduces both version-keyed padding styles
+    (reference infer.py:245-262), and both styles collapse to IDENTICAL
+    decode prefixes through prepare_prefix_host — the reference strips all
+    start/stop text tokens per row before re-framing (model.py:616-619), so
+    cfg.version is a surface-layout switch, not a numeric one."""
+    from index_tts_dubbing_tpu.engine import decode as decode_mod
+    from index_tts_dubbing_tpu.engine.tts import pad_tokens_cat
+    cfg = small_config().gpt
+    rows = [np.arange(2, 12, dtype=np.int32),
+            np.arange(2, 5, dtype=np.int32),
+            np.arange(2, 20, dtype=np.int32)]
+    v15 = pad_tokens_cat(rows, cfg.stop_text_token, cfg.start_text_token,
+                         version=1.5)
+    v10 = pad_tokens_cat(rows, cfg.stop_text_token, cfg.start_text_token,
+                         version=1.0)
+    # style check: v1.5 right-pads with stop only; v1.0 pads ≤8 stops then
+    # starts (row 1: 15 pad slots → 8 stop + 7 start)
+    assert (v15[1, 3:] == cfg.stop_text_token).all()
+    assert (v10[1, 3:11] == cfg.stop_text_token).all()
+    assert (v10[1, 11:] == cfg.start_text_token).all()
+    pre15 = decode_mod.prepare_prefix_host(cfg, list(v15))
+    pre10 = decode_mod.prepare_prefix_host(cfg, list(v10))
+    pre_raw = decode_mod.prepare_prefix_host(cfg, rows)
+    for k in pre_raw:
+        np.testing.assert_array_equal(pre15[k], pre10[k])
+        np.testing.assert_array_equal(pre15[k], pre_raw[k])
+
+
 def test_infer_e2e(engine, tmp_path):
     p = _prompt_wav(tmp_path)
     out = tmp_path / "out.wav"

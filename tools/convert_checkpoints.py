@@ -28,7 +28,8 @@ def main(argv=None) -> int:
     from index_tts_dubbing_tpu.utils.checkpoint import save_params
     from index_tts_dubbing_tpu.utils.config import load_config, EngineConfig
     from index_tts_dubbing_tpu.utils.convert import (
-        convert_bigvgan, convert_unified_voice, load_torch_state_dict)
+        convert_bigvgan, convert_dvae, convert_unified_voice,
+        load_torch_state_dict)
 
     model_dir = Path(args.model_dir)
     out_dir = Path(args.out_dir or args.model_dir)
@@ -57,6 +58,15 @@ def main(argv=None) -> int:
         print(f"  → {out_dir / 'bigvgan.npz'}")
     else:
         print(f"skip: {bv_pth} not found")
+
+    dvae_pth = model_dir / cfg.dvae_checkpoint
+    if dvae_pth.exists():
+        print(f"converting {dvae_pth} ...")
+        params = convert_dvae(load_torch_state_dict(str(dvae_pth)))
+        save_params(out_dir / "dvae.npz", params)
+        print(f"  → {out_dir / 'dvae.npz'}")
+    else:
+        print(f"skip: {dvae_pth} not found")
     return 0
 
 
