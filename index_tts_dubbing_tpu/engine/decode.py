@@ -360,7 +360,8 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         # the shard-local grouped einsum permutation instead
         reorder = "split"
     cof = reorder in ("cof", "cofdense")
-    split = reorder in ("split", "splitnone", "cof", "cofdense")
+    anc = reorder == "anc"
+    split = reorder in ("split", "splitnone", "cof", "cofdense", "anc")
     if split:
         # SplitCache: the prefix is stored ONCE per batch row (frozen,
         # shared by its beams at attention time); only the generated region
@@ -437,16 +438,30 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     SB = 128
     n_blocks = (max_steps + SB - 1) // SB
 
-    def reorder_cache(cache, src, j, m, inv):
+    def reorder_cache(cache, src, j, m, inv, amap):
         """Apply the beam-ancestry switch ``src`` (b, nb logical sources) to
-        the cache. Returns (cache', m', inv') — the logical→physical /
-        physical→logical row maps only change under the "cof" strategy; all
-        other strategies physically reorder and keep identity maps."""
+        the cache. Returns (cache', m', inv', amap') — the logical→physical
+        / physical→logical row maps only change under "cof"; the per-slot
+        ancestry map only under "anc" (which never moves cache rows at all);
+        all other strategies physically reorder and keep identity maps."""
+        if anc:
+            # zero-copy: slot j-1 (just written, physical==logical) is
+            # stamped identity, then the whole map is gathered by the
+            # ancestry switch — composed pointers instead of cache traffic.
+            # (j=0: the clamped write+gather touch slot 0 before it exists;
+            # both are overwritten by the j=1 stamp, and unwritten slots are
+            # attention-masked.)
+            ident = jnp.broadcast_to(
+                jnp.arange(nb, dtype=amap.dtype)[None, :, None], (b, nb, 1))
+            amap2 = jax.lax.dynamic_update_slice(
+                amap, ident, (0, 0, jnp.asarray(j, jnp.int32) - 1))
+            amap2 = jnp.take_along_axis(amap2, src[..., None], axis=1)
+            return cache, m, inv, cs(amap2, "data")
         if reorder == "splitnone":
             # PROFILING ONLY: split cache without the reorder (wrong
             # numerics on non-identity permutations) — isolates the split
             # attention step's cost in tools/profile_beam_step.py.
-            return cache, m, inv
+            return cache, m, inv, amap
         if cof:
             # Copy-on-fork with row indirection: beams that survive stay in
             # their physical rows (map update only); each FORKED beam copies
@@ -495,9 +510,9 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                 kg2 = jnp.take(kg2, m_flat, axis=1)
                 vg2 = jnp.take(vg2, m_flat, axis=1)
                 return (gpt_model.SplitCache(cache.kp, cache.vp, kg2, vg2),
-                        m, inv)
+                        m, inv, amap)
             return (gpt_model.SplitCache(cache.kp, cache.vp, kg2, vg2),
-                    m_flat, inv_flat)
+                    m_flat, inv_flat, amap)
         if split:
             # gen-region-only permutation, no slice/DUS dance. Single chip:
             # block-diagonal one-hot matmul over the FULL bn axis — the MXU
@@ -521,7 +536,7 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
             return gpt_model.SplitCache(
                 cache.kp, cache.vp,
                 cs(do(cache.kg), None, "data", "model"),
-                cs(do(cache.vg), None, "data", "model")), m, inv
+                cs(do(cache.vg), None, "data", "model")), m, inv, amap
 
         idx = src[None, :, :, None, None, None]     # (1, b, nb, 1, 1, 1)
         k, v = cache
@@ -598,7 +613,7 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                 v = jax.lax.cond(pred, lambda a: do_block(a, lo, width),
                                  lambda a: a, v)
         return gpt_model.KVCache(cs(k, None, "data", "model"),
-                                 cs(v, None, "data", "model")), m, inv
+                                 cs(v, None, "data", "model")), m, inv, amap
 
     def penalised_logp(h_, seen):
         logits = gpt_model.mel_logits_from_hidden(params, h_).astype(
@@ -637,7 +652,7 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         return cand, idx // vocab, (idx % vocab).astype(jnp.int32), best_next
 
     def process(cand, src_beam, tok, best_next, j, tokens, cache, seen,
-                pool_norm, pool_tok, pool_len, done, m, inv):
+                pool_norm, pool_tok, pool_len, done, m, inv, amap):
         """BeamSearchScorer.process + BeamHypotheses pool. j = tokens
         generated before this step; eos hypotheses have generated_len j+1
         (eos counted, HF 4.36 `generated_len = cur_len - decoder_prompt_len`
@@ -682,7 +697,7 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         seen = jnp.take_along_axis(
             seen.reshape(b, nb, -1), new_src[..., None], axis=1
         ).reshape(bn, -1)
-        cache, m, inv = reorder_cache(cache, new_src, j, m, inv)
+        cache, m, inv, amap = reorder_cache(cache, new_src, j, m, inv, amap)
         tokens = jnp.where(done[jnp.arange(bn) // nb, None], tokens,
                            tokens.at[:, j].set(new_tok))
         seen = seen.at[jnp.arange(bn), new_tok].set(True)
@@ -693,7 +708,7 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         worst = jnp.min(pool_norm, axis=1)
         done = done | (pool_full & (worst >= attainable))
         return (tokens, new_scores, new_tok, cache, seen, pool_norm,
-                pool_tok, pool_len, done, m, inv)
+                pool_tok, pool_len, done, m, inv, amap)
 
     # ---- step 0 (prefill hidden state). beam_search masks duplicate beams;
     # beam_sample keeps all-zero scores (samples over nb identical copies).
@@ -712,15 +727,19 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     done0 = jnp.zeros((b,), bool)
     m0 = jnp.arange(bn, dtype=jnp.int32)   # logical→physical row map (cof)
     inv0 = jnp.arange(bn, dtype=jnp.int32)  # physical→logical row map (cof)
+    # per-slot ancestry map (anc): (b, nb, G) logical beam × gen slot →
+    # physical beam index within the row; identity until slots are written
+    amap0 = cs(jnp.zeros((b, nb, max_steps), jnp.int32)
+               + jnp.arange(nb, dtype=jnp.int32)[None, :, None], "data")
     cand, src, tok, best = select_candidates(logp0, beam_scores0, sub0)
     (tokens, beam_scores, prev, cache, seen, pool_norm, pool_tok, pool_len,
-     done, m, inv) = process(cand, src, tok, best, 0, tokens0, cache, seen0,
-                             pool_norm0, pool_tok0, pool_len0, done0,
-                             m0, inv0)
+     done, m, inv, amap) = process(cand, src, tok, best, 0, tokens0, cache,
+                                   seen0, pool_norm0, pool_tok0, pool_len0,
+                                   done0, m0, inv0, amap0)
 
     def body_fn(state):
         (j, tokens, prev, beam_scores, cache, seen, pool_norm, pool_tok,
-         pool_len, done, key, m, inv) = state
+         pool_len, done, key, m, inv, amap) = state
         key, sub = jax.random.split(key)
         emb = (jnp.take(params["mel_emb"]["w"], prev, axis=0)
                + params["mel_pos"]["w"][j + 1]).astype(prefix_emb.dtype)
@@ -733,6 +752,9 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                 params, cfg, jnp.take(emb, inv, axis=0), cache, j - 1,
                 pad_keep, nb)
             hh = jnp.take(hh, m, axis=0)
+        elif anc:
+            hh, cache = gpt_model.trunk_decode_step_split_anc(
+                params, cfg, emb, cache, j - 1, pad_keep, nb, amap)
         elif split:
             hh, cache = gpt_model.trunk_decode_step_split(
                 params, cfg, emb, cache, j - 1, pad_keep, nb)
@@ -744,19 +766,19 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         logp = penalised_logp(hh, seen)
         cand, src, tok, best = select_candidates(logp, beam_scores, sub)
         (tokens, beam_scores, prev, cache, seen, pool_norm, pool_tok,
-         pool_len, done, m, inv) = process(cand, src, tok, best, j, tokens,
-                                           cache, seen, pool_norm, pool_tok,
-                                           pool_len, done, m, inv)
+         pool_len, done, m, inv, amap) = process(
+            cand, src, tok, best, j, tokens, cache, seen, pool_norm,
+            pool_tok, pool_len, done, m, inv, amap)
         return (j + 1, tokens, prev, beam_scores, cache, seen, pool_norm,
-                pool_tok, pool_len, done, key, m, inv)
+                pool_tok, pool_len, done, key, m, inv, amap)
 
     def cond_fn(st):
         return (st[0] < max_steps) & (~jnp.all(st[9]))
 
     state = (jnp.int32(1), tokens, prev, beam_scores, cache, seen,
-             pool_norm, pool_tok, pool_len, done, key0, m, inv)
+             pool_norm, pool_tok, pool_len, done, key0, m, inv, amap)
     (j, tokens, _, beam_scores, fin_cache, _, pool_norm, pool_tok, pool_len,
-     done, _, fin_m, fin_inv) = jax.lax.while_loop(cond_fn, body_fn, state)
+     done, _, fin_m, fin_inv, _) = jax.lax.while_loop(cond_fn, body_fn, state)
 
     # ---- finalize: open beams of not-done batches join the pool at
     # generated_len = max_steps (HF finalize semantics)

@@ -234,6 +234,9 @@ class IndexTTS:
 
     TEXT_BUCKETS = (16, 32, 48, 64, 80, 96, 120)
     CODE_BUCKETS = (64, 128, 192, 256, 384, 512, 608)
+    # batch-size buckets for the fused one-program route (bounds the compile
+    # matrix; short dummy rows pad the batch and are cropped from the stream)
+    FUSED_BATCH_BUCKETS = (1, 2, 4, 8, 16, 24, 32)
 
     def __init__(self, cfg_path: Optional[str] = None,
                  model_dir: Optional[str] = None, is_fp16: bool = False,
@@ -655,6 +658,37 @@ class IndexTTS:
         return wav, res
 
     # ------------------------------------------------------------------
+    def _fused_eligible(self, rows: List[np.ndarray]) -> bool:
+        """True when a workload can ride the fused one-program path
+        (engine/fused.py): single-chip, non-empty, batch within the largest
+        batch bucket, and every row in the SAME text bucket (one bucket per
+        fused call by design — heterogeneous buckets fall back to the
+        staged bucketed path, which exists precisely for them)."""
+        if self.mesh is not None or not rows:
+            return False
+        if len(rows) > self.FUSED_BATCH_BUCKETS[-1]:
+            return False
+        if any(r.size == 0 or r.size > self.TEXT_BUCKETS[-1] for r in rows):
+            return False
+        buckets = {next(b for b in self.TEXT_BUCKETS if b >= r.size)
+                   for r in rows}
+        return len(buckets) == 1
+
+    def _synthesize_fused_public(self, conds, rows: List[np.ndarray],
+                                 sc: SamplingConfig, spk
+                                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fused-path execution for the public surfaces: pads the batch to a
+        FUSED_BATCH_BUCKET with short dummy rows (cropped from the stream),
+        runs synthesize_fused, and returns (wav fp32 scaled like the staged
+        path pre-clip, per-row latent frame lens for the REAL rows)."""
+        n_real = len(rows)
+        n_pad = next(bb for bb in self.FUSED_BATCH_BUCKETS if bb >= n_real)
+        rows = list(rows) + [np.array([2], np.int32)] * (n_pad - n_real)
+        wav, res = self.synthesize_fused(conds, rows, sc, spk)
+        lens = np.asarray(res.lens)[:n_real]
+        wav = wav[: int(lens.sum()) * self.vocoder.upsample]
+        return wav, lens
+
     def _set_gr_progress(self, value, desc):
         if self.gr_progress is not None:
             self.gr_progress(value, desc=desc)
@@ -729,13 +763,32 @@ class IndexTTS:
         tokens = self.tokenizer.tokenize(text)
         sentences = self.tokenizer.split_sentences(
             tokens, max_text_tokens_per_sentence)
+        sr = self.cfg.mel.sample_rate
+        spk = self.vocoder.speaker_embedding(
+            jnp.asarray(cond_mel.transpose(0, 2, 1)))
+
+        # fused one-program route (engine/fused.py): the measured-best path —
+        # decode→trim→latent→vocode as ONE XLA program, rows in sentence
+        # order so the stream needs no reordering. This is the public road
+        # to the benched fused graph (r03 verdict: it was bench/test-only).
+        sent_rows = [np.asarray(self.tokenizer.convert_tokens_to_ids(s),
+                                np.int32) for s in sentences]
+        if self._fused_eligible(sent_rows):
+            self._set_gr_progress(0.2, "gpt inference speech (fused)...")
+            t0 = time.perf_counter()
+            wav, _ = self._synthesize_fused_public(conds, sent_rows, sc, spk)
+            times.gpt_gen += time.perf_counter() - t0
+            self._set_gr_progress(0.9, "save audio...")
+            wav = np.clip(wav * 32767.0, -32767.0, 32767.0)
+            times.total = time.perf_counter() - start_time
+            times.audio_seconds = wav.size / sr
+            self._report(times, fast=True, path="fused")
+            return self._emit(wav, sr, output_path)
+
         buckets = bucket_sentences(sentences,
                                   bucket_max_size=sentences_bucket_max_size)
         if verbose:
             print(f">> {len(sentences)} sentences in {len(buckets)} buckets")
-        sr = self.cfg.mel.sample_rate
-        spk = self.vocoder.speaker_embedding(
-            jnp.asarray(cond_mel.transpose(0, 2, 1)))
 
         all_idx: List[int] = []
         lat_rows: List[Tuple[np.ndarray, np.ndarray, int]] = []
@@ -815,6 +868,32 @@ class IndexTTS:
                 flat_sents.append(s)
                 owners.append(ti)
 
+        # fused one-program route: sentences are contiguous per text in
+        # flat order, so the fused stream slices per text by frame offsets
+        flat_rows = [np.asarray(self.tokenizer.convert_tokens_to_ids(s),
+                                np.int32) for s in flat_sents]
+        if not continuous and self._fused_eligible(flat_rows):
+            t0 = time.perf_counter()
+            wav, lens = self._synthesize_fused_public(conds, flat_rows, sc,
+                                                      spk)
+            times.gpt_gen += time.perf_counter() - t0
+            wav = np.clip(wav * 32767.0, -32767.0, 32767.0).astype(np.int16)
+            up = self.vocoder.upsample
+            bounds = np.concatenate([[0], np.cumsum(lens)]) * up
+            outs = []
+            for ti in range(len(texts)):
+                sids = [si for si in range(len(flat_sents))
+                        if owners[si] == ti]
+                if not sids:
+                    outs.append((sr, np.zeros((0, 1), np.int16)))
+                    continue
+                seg = wav[int(bounds[sids[0]]): int(bounds[sids[-1] + 1])]
+                outs.append((sr, seg[:, None]))
+            times.total = time.perf_counter() - start_time
+            times.audio_seconds = sum(w.shape[0] for _, w in outs) / sr
+            self._report(times, fast=True, path="fused")
+            return outs
+
         sent_ids: List[int] = []
         lat_rows: List[Tuple[np.ndarray, np.ndarray, int]] = []
         if continuous:
@@ -883,21 +962,31 @@ class IndexTTS:
         return outs
 
     # ------------------------------------------------------------------
-    def _report(self, times: StageTimes, fast: bool = False) -> None:
+    def _report(self, times: StageTimes, fast: bool = False,
+                path: str = "staged") -> None:
         tag = "[fast] " if fast else ""
-        # fast path: the latent pass is DISPATCHED async and its device time
-        # is absorbed into the vocoder wall (the total is exact; the split is
-        # attribution) — hence the +async/+latent annotations.
-        lat_note = " (dispatch only; compute folded into bigvgan)" if fast \
-            else ""
-        print(f">> {tag}gpt_gen_time: {times.gpt_gen:.2f} s")
-        print(f">> {tag}gpt_forward_time: {times.gpt_forward:.2f} s"
-              f"{lat_note}")
-        print(f">> {tag}bigvgan_time: {times.bigvgan:.2f} s")
+        if path == "fused":
+            # the fused route is ONE program: the whole pipeline's device
+            # time lands in gpt_gen (no per-stage split exists)
+            print(f">> {tag}synthesis path: fused (one XLA program)")
+            print(f">> {tag}fused_time: {times.gpt_gen:.2f} s")
+        else:
+            # fast path: the latent pass is DISPATCHED async and its device
+            # time is absorbed into the vocoder wall (the total is exact;
+            # the split is attribution) — hence the annotation.
+            lat_note = (" (dispatch only; compute folded into bigvgan)"
+                        if fast else "")
+            if fast:
+                print(f">> {tag}synthesis path: staged")
+            print(f">> {tag}gpt_gen_time: {times.gpt_gen:.2f} s")
+            print(f">> {tag}gpt_forward_time: {times.gpt_forward:.2f} s"
+                  f"{lat_note}")
+            print(f">> {tag}bigvgan_time: {times.bigvgan:.2f} s")
         print(f">> {tag}Total inference time: {times.total:.2f} s")
         print(f">> {tag}Generated audio length: {times.audio_seconds:.2f} s")
         print(f">> {tag}RTF: {times.rtf:.4f}")
         self.last_times = times
+        self.last_path = path
 
     def _emit(self, wav: np.ndarray, sr: int, output_path):
         wav_i16 = wav.astype(np.int16)

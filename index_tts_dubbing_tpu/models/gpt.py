@@ -329,6 +329,91 @@ def trunk_decode_step_split(params: Params, cfg: GPTConfig, x: jnp.ndarray,
     return h, SplitCache(cache.kp, cache.vp, kg_all, vg_all)
 
 
+def trunk_decode_step_split_anc(params: Params, cfg: GPTConfig,
+                                x: jnp.ndarray, cache: SplitCache,
+                                slot: jnp.ndarray, keep_p: jnp.ndarray,
+                                nb: int, amap: jnp.ndarray
+                                ) -> Tuple[jnp.ndarray, SplitCache]:
+    """One beam decode step over a SplitCache with ZERO physical reorder:
+    beam-ancestry switches never move gen-cache rows; instead ``amap``
+    (B, nb, G) int32 maps (logical beam, gen slot) → the physical beam index
+    within its row whose cache row holds that slot's K/V. Attention then
+    routes through the map: per-slot scores are computed against ALL nb
+    physical rows of the row's group and the ancestor's is selected with a
+    one-hot einsum; the value contraction applies the same one-hot to the
+    probabilities. Extra cost vs the physically-reordered step is only the
+    nb× score/value FLOPs (MXU, tiny at nb=3) and a (B, nb, nb, G) one-hot —
+    the 2·L·BN·H·G·D cache reorder traffic (the dominant term of the r03
+    "split" strategy, 12.4 ms/step at B=16·nb=3) disappears entirely.
+
+    The current step's write goes to physical row == logical row, so the
+    map at ``slot`` is forced to identity here (the selection-time gather in
+    decode.py updates it afterwards). Replaces HF `_reorder_cache`
+    (reference gpt/model.py:194-207) with pointer bookkeeping.
+    """
+    params = _ensure_stacked(params)
+    bn = x.shape[0]
+    b = bn // nb
+    g_len = cache.kg.shape[3]
+    H, D = cfg.heads, cfg.head_dim
+    pbias = jnp.where(keep_p, 0.0, -1e30).astype(jnp.float32)  # (B, S0)
+    pbias = pbias[:, None, None, :]
+    gbias = jnp.where(jnp.arange(g_len)[None, :] <= slot, 0.0,
+                      -1e30).astype(jnp.float32)[:, None, None, :]
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    ident = jnp.broadcast_to(
+        jnp.arange(nb, dtype=amap.dtype)[None, :, None], (b, nb, 1))
+    amap_eff = jax.lax.dynamic_update_slice(amap, ident, (0, 0, slot))
+    anc = (amap_eff[:, :, None, :]
+           == jnp.arange(nb, dtype=amap.dtype)[None, None, :, None])
+    anc_f = anc.astype(jnp.float32)                 # (B, nb_log, nb_phys, G)
+    anc_c = anc.astype(x.dtype)
+    blocks = params["blocks"]
+    kg_all, vg_all = cache.kg, cache.vg
+    # layer loop unrolled: see trunk_decode_step NOTE
+    for li in range(cfg.layers):
+        blk = jax.tree.map(lambda a: a[li], blocks)
+        h = nn.layer_norm(blk["ln1"], x)
+        qkv = nn.linear(blk["attn"]["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)                   # (BN, C)
+        q = q.reshape(bn, H, D)
+        k = k.reshape(bn, H, D)
+        v = v.reshape(bn, H, D)
+        kg_all = jax.lax.dynamic_update_slice(
+            kg_all, k[None, :, :, None].astype(kg_all.dtype),
+            (li, 0, 0, slot, 0))
+        vg_all = jax.lax.dynamic_update_slice(
+            vg_all, v[None, :, :, None].astype(vg_all.dtype),
+            (li, 0, 0, slot, 0))
+        qb = q.reshape(b, nb, H, D)
+        lp = jnp.einsum("bnhd,bhsd->bnhs", qb,
+                        cache.kp[li].astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+        lp = lp + pbias                                        # (B,nb,H,S0)
+        # scores against every physical row of the group, ancestor selected
+        # by the one-hot (the selected term is the identical q·k dot product
+        # the physically-reordered step computes)
+        kg_b = kg_all[li].astype(q.dtype).reshape(b, nb, H, g_len, D)
+        s_all = jnp.einsum("bnhd,bmhgd->bnmhg", qb, kg_b,
+                           preferred_element_type=jnp.float32) * scale
+        lg = jnp.einsum("bnmhg,bnmg->bnhg", s_all, anc_f) + gbias
+        logits = jnp.concatenate([lp, lg], axis=-1)            # (B,nb,H,S0+G)
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        s0 = cache.kp.shape[3]
+        wp, wg = w[..., :s0], w[..., s0:]
+        o = jnp.einsum("bnhs,bhsd->bnhd", wp, cache.vp[li].astype(x.dtype),
+                       preferred_element_type=x.dtype)
+        wgm = wg[:, :, None, :, :] * anc_c[:, :, :, None, :]   # (b,n,m,H,G)
+        vg_b = vg_all[li].astype(x.dtype).reshape(b, nb, H, g_len, D)
+        o = o + jnp.einsum("bnmhg,bmhgd->bnhd", wgm, vg_b,
+                           preferred_element_type=x.dtype)
+        o = o.reshape(bn, H * D)
+        x = x + nn.linear(blk["attn"]["proj"], o)
+        x = x + _mlp(cfg, blk["mlp"], nn.layer_norm(blk["ln2"], x))
+    h = nn.layer_norm(params["ln_f"], x)
+    return h, SplitCache(cache.kp, cache.vp, kg_all, vg_all)
+
+
 # ---------------------------------------------------------------------------
 # UnifiedVoice-level ops
 # ---------------------------------------------------------------------------
