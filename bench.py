@@ -1,9 +1,11 @@
-"""Headline benchmark: end-to-end TTS RTF on one chip.
+"""Headline benchmark: end-to-end TTS RTF on one chip, THROUGH THE PUBLIC API.
 
 Runs the flagship IndexTTS-1.5-sized pipeline on a fixed synthetic workload
-through the FUSED serving graph (engine/fused.py: prefix → AR decode →
-silence trim → latent pass → windowed BigVGAN in ONE XLA program) and prints
-ONE JSON line: {"metric": "rtf", "value": ..., "unit": ..., "vs_baseline": ...}
+through the public ``IndexTTS.infer_fast`` surface — which routes eligible
+workloads onto the FUSED serving graph (engine/fused.py: prefix → AR decode →
+silence trim → latent pass → windowed BigVGAN in ONE XLA program) — and
+prints ONE JSON line:
+{"metric": "rtf", "value": ..., "unit": ..., "vs_baseline": ...}
 
 Two decode modes are measured: the sampling fast path (num_beams=1) and the
 reference's quality default (num_beams=3 beam sampling, infer.py:332); the
@@ -19,7 +21,9 @@ the FIRST execution of a process, plus a server compile per distinct program
     bring-up runs CONCURRENTLY with everything below;
  2. the two fused programs + the conditioning/speaker programs are
     AOT-compiled in parallel threads (XLA compiles release the GIL);
- 3. a repo-local seed cache (tools/seed_cache.py) makes step 2 a cache hit.
+ 3. a repo-local seed cache (tools/seed_cache.py) makes step 2 a cache hit —
+    per-program HIT/MISS is logged by diffing the active cache dir around
+    the compiles (a MISS means the snapshot is stale for that program).
 
 Random weights are used (no public checkpoints ship with the reference);
 decode length is fixed by max_mel_tokens so the workload is deterministic
@@ -27,19 +31,30 @@ and timing-representative: the same matmuls/kernels run as with real weights.
 """
 import faulthandler
 import json
+import os
 import sys
 import threading
 import time
+from pathlib import Path
 
 import numpy as np
 
 faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
 T0 = time.perf_counter()
 
+BENCH_PROGRAMS = ("jit_synthesize_fused", "jit_get_conditioning",
+                  "jit_speaker_embedding")
+
 
 def log(msg):
     print(f"[bench {time.strftime('%H:%M:%S')} +{time.perf_counter()-T0:5.0f}s]"
           f" {msg}", file=sys.stderr, flush=True)
+
+
+def cache_entries():
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    d = Path(d) if d else Path.home() / ".cache" / "jax_comp_cache"
+    return {p.name for p in d.iterdir()} if d.is_dir() else set()
 
 
 def sds_tree(tree):
@@ -82,27 +97,42 @@ def main():
     sr = engine.cfg.mel.sample_rate
     rng = np.random.default_rng(0)
 
-    # synthetic workload: 5 s reference prompt, 16 sentences x 48 text
+    # synthetic workload: 5 s reference prompt; 16 sentences x 48 text
     # tokens, 192 mel codes each (≈8.2 s audio per sentence) — the
-    # infer_fast/infer_batch multi-sentence production path at its B=16
-    # bucket (decode step time is nearly flat in B, so the large bucket is
-    # ~4x decode throughput vs B=4; tools/profile_decode_modes.py)
+    # production multi-sentence batch at its B=16 bucket, fed as TEXT
+    # through the public infer_fast surface (which routes it onto the
+    # fused one-program path; the bench asserts the route taken)
     cond_mel = rng.standard_normal((1, 100, 470)).astype(np.float32)
     engine.set_cond_mel(cond_mel)
     batch = 16
     n_text = 48
     steps = 192
-    rows = [rng.integers(2, 12000, size=n_text).astype(np.int32)
-            for _ in range(batch)]
+    # 16 sentences of exactly 48 tokens through the CharTokenizer (47
+    # letters + '.'; ids are deterministic codepoint hashes). With
+    # max_text_tokens_per_sentence=48, split_sentences keeps each sentence
+    # whole and never merges two (96 > 48).
+    letters = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    text = " ".join(
+        "".join(rng.choice(list(letters), size=n_text - 1)) + "."
+        for _ in range(batch))
+    # the AOT shapes below assume this text tokenizes to exactly
+    # batch x n_text rows — verify on host before spending compile time
+    check_rows = [np.asarray(engine.tokenizer.convert_tokens_to_ids(s))
+                  for s in engine.tokenizer.split_sentences(
+                      engine.tokenizer.tokenize(text), n_text)]
+    assert len(check_rows) == batch and \
+        all(r.size == n_text for r in check_rows), \
+        [r.size for r in check_rows]
 
     # ---- AOT-compile every program concurrently (bring-up still running).
     # engine.aot_compile_fused derives the avals from the SAME functions the
-    # runtime calls (eval_shape), so the warmup runs are guaranteed cache
+    # runtime calls (eval_shape), so the runtime calls are guaranteed cache
     # hits — hand-built ShapeDtypeStructs cost a silent ~150 s recompile
     # when a dtype drifts (conds/spk are fp32 even under bf16 params).
     cfg = engine.gpt_cfg
     gpt_sds = sds_tree(engine.params["gpt"])
     bv_sds = sds_tree(engine.params["bigvgan"])
+    cache_before = cache_entries()
 
     def compile_fused(nb):
         sc = engine._sampling_config(dict(do_sample=True, num_beams=nb,
@@ -130,12 +160,17 @@ def main():
         t.join()
     log("all programs compiled")
 
+    # per-program cache HIT/MISS: a MISS writes a new entry into the active
+    # cache dir — exactly the signal that the repo snapshot was stale for
+    # that program (r03: two silent misses cost 152-154 s each)
+    new_entries = cache_entries() - cache_before
+    for prefix in BENCH_PROGRAMS:
+        fresh = [e for e in new_entries if e.startswith(prefix)]
+        log(f"compile cache {'MISS' if fresh else 'HIT '} {prefix}"
+            + (f" ({len(fresh)} new entries)" if fresh else ""))
+
     np.asarray(warm_probe)  # session bring-up complete from here
     log("device session up")
-
-    conds = engine._conditioning(cond_mel)
-    spk = engine.vocoder.speaker_embedding(
-        jnp.asarray(cond_mel.transpose(0, 2, 1)))
 
     import jax as _jax
     with _jax.default_device(_jax.devices("cpu")[0]):
@@ -145,14 +180,15 @@ def main():
         # identical sampling keys per run → identical codes → the warm run
         # reuses every compiled shape from the warmup run
         engine._rng = key0
-        sc = engine._sampling_config(dict(do_sample=True,
-                                          num_beams=num_beams,
-                                          max_mel_tokens=steps))
         t0 = time.perf_counter()
-        wav, res = engine.synthesize_fused(conds, rows, sc, spk)
+        _, wav = engine.infer_fast("<direct>", text, None,
+                                   max_text_tokens_per_sentence=n_text,
+                                   do_sample=True, num_beams=num_beams,
+                                   max_mel_tokens=steps)
         dt = time.perf_counter() - t0
-        tokens = int(np.asarray(res.gen_lengths).sum())
-        return dt, wav.size, tokens
+        assert engine.last_path == "fused", engine.last_path
+        tokens = int(np.asarray(engine.last_fused_res.gen_lengths).sum())
+        return dt, wav.shape[0], tokens
 
     log("warmup run (num_beams=1)...")
     run_once(1)
@@ -176,7 +212,8 @@ def main():
         "unit": "sec_compute_per_sec_audio",
         "vs_baseline": round(0.05 / rtf_beam, 3),
         "detail": {
-            "mode": "beam_sample x3 (reference default), fused graph",
+            "mode": "beam_sample x3 (reference default), public infer_fast"
+                    " -> fused graph",
             "rtf_sampling": round(rtf_fast, 5),
             "tokens_generated": tok_beam,
             "tokens_generated_sampling": tok_fast,

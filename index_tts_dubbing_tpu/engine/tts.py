@@ -685,6 +685,7 @@ class IndexTTS:
         n_pad = next(bb for bb in self.FUSED_BATCH_BUCKETS if bb >= n_real)
         rows = list(rows) + [np.array([2], np.int32)] * (n_pad - n_real)
         wav, res = self.synthesize_fused(conds, rows, sc, spk)
+        self.last_fused_res = res
         lens = np.asarray(res.lens)[:n_real]
         wav = wav[: int(lens.sum()) * self.vocoder.upsample]
         return wav, lens

@@ -43,10 +43,36 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batches", default="1,4")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--bench-set", action="store_true",
+                    help="compile EXACTLY the bench.py program set (the two "
+                         "fused programs + cond/spk at the bench shapes) — "
+                         "used by tools/seed_cache.py snapshot-exact")
     args = ap.parse_args(argv)
 
     engine = IndexTTS(config=EngineConfig(), is_fp16=not args.fp32,
                       verbose_init=False, seed=0)
+
+    if args.bench_set:
+        import jax as _jax
+        from index_tts_dubbing_tpu.engine.tts import _cond_jit
+        gpt_sds_ = sds_tree(engine.params["gpt"])
+        bv_sds_ = sds_tree(engine.params["bigvgan"])
+        batch, n_text, steps, cond_frames = 16, 48, 192, 470
+        for nb in (1, 3):
+            sc = engine._sampling_config(dict(do_sample=True, num_beams=nb,
+                                              max_mel_tokens=steps))
+            t0 = time.perf_counter()
+            engine.aot_compile_fused(batch, n_text, sc, num_beams=nb,
+                                     cond_frames=cond_frames)
+            print(f"  [{time.perf_counter()-t0:6.1f}s] fused nb={nb}",
+                  flush=True)
+        t0 = time.perf_counter()
+        mel_sds = _jax.ShapeDtypeStruct((1, cond_frames, 100), np.float32)
+        len_sds = _jax.ShapeDtypeStruct((1,), np.int32)
+        _cond_jit.lower(gpt_sds_, engine.gpt_cfg, mel_sds, len_sds).compile()
+        voc_mod.speaker_embedding.lower(bv_sds_, mel_sds).compile()
+        print(f"  [{time.perf_counter()-t0:6.1f}s] cond+spk", flush=True)
+        return 0
     cfg = engine.gpt_cfg
     dtype = engine.dtype
     gpt_sds = sds_tree(engine.params["gpt"])

@@ -57,12 +57,27 @@ def seed_compile_cache() -> int:
     return n
 
 
-def snapshot(patterns=("jit_synthesize_fused", "jit_get_conditioning",
-                       "jit_speaker_embedding")) -> int:
+BENCH_PATTERNS = ("jit_synthesize_fused", "jit_get_conditioning",
+                  "jit_speaker_embedding")
+
+
+def snapshot(patterns=BENCH_PATTERNS, src_dir: Path | None = None) -> int:
     """Copy the bench program set's entries from the active cache into the
-    repo seed dir (replacing stale ones with the same prefix)."""
-    src_dir = _active_cache_dir()
+    repo seed dir (replacing stale ones with the same prefix). Fails loudly
+    when a bench-critical program has NO entry — shipping a snapshot that
+    misses a bench program is exactly the r03 failure mode."""
+    src_dir = src_dir or _active_cache_dir()
     SEED_DIR.mkdir(exist_ok=True)
+    found = {p: 0 for p in patterns}
+    for src in sorted(src_dir.iterdir()):
+        for p in patterns:
+            if src.name.startswith(p):
+                found[p] += 1
+    missing = [p for p, c in found.items() if c == 0]
+    if missing:
+        raise SystemExit(
+            f"refusing to snapshot: no cache entry for {missing} in "
+            f"{src_dir} — run the bench (or prime_cache --bench-set) first")
     for old in SEED_DIR.iterdir():
         if any(old.name.startswith(p) for p in patterns):
             old.unlink()
@@ -78,8 +93,34 @@ def snapshot(patterns=("jit_synthesize_fused", "jit_get_conditioning",
     return n
 
 
+def snapshot_exact() -> int:
+    """Rebuild the snapshot from scratch with EXACTLY the bench program set
+    at the CURRENT code revision: compile the bench programs into a fresh
+    temporary cache dir (a subprocess running prime_cache --bench-set), then
+    replace .jax_seed_cache with that dir's contents. This prevents both
+    r03 failure modes: stale keys (snapshot taken before the final program
+    revision) and bloat (superseded entries accumulating)."""
+    import subprocess
+    import tempfile
+    tmp = Path(tempfile.mkdtemp(prefix="jax_seed_exact_"))
+    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=str(tmp))
+    print(f"compiling bench program set into {tmp} ...")
+    subprocess.run(
+        [sys.executable, str(REPO / "tools" / "prime_cache.py"),
+         "--bench-set"], env=env, cwd=str(REPO), check=True)
+    # wipe the whole seed dir (bench patterns AND anything superseded)
+    if SEED_DIR.is_dir():
+        for old in SEED_DIR.iterdir():
+            old.unlink()
+    n = snapshot(src_dir=tmp)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "snapshot":
         snapshot()
+    elif len(sys.argv) > 1 and sys.argv[1] == "snapshot-exact":
+        snapshot_exact()
     else:
         print(f"seeded {seed_compile_cache()} entries")
