@@ -226,10 +226,23 @@ class ZhNormalizer:
             return zh_number(m.group(1)) + "到" + zh_number(m.group(2)) + "美元"
 
         self.rules: List[Tuple[re.Pattern, Callable[[re.Match], str]]] = [
+            # digit grouping: 1,000,000 → 1000000 (before everything)
+            (re.compile(r"(?<!\d)(\d{1,3}(?:,\d{3})+)(?!\d)"),
+             lambda m: m.group(1).replace(",", "")),
             # dates: 2030/1/2, 2023-04-05, 2025年01月11日
             (re.compile(r"(\d{4})\s*[/\-年]\s*(\d{1,2})\s*[/\-月]\s*(\d{1,2})\s*日?"),
              lambda m: f"{zh_digits(m.group(1))}年{zh_int(int(m.group(2)))}月"
                        f"{zh_int(int(m.group(3)))}日"),
+            # date ranges: the dash between two date expressions reads 到
+            # (1月-3月, 6月1日-6月3日) — endpoints converted by the date
+            # rules around this one
+            (re.compile(r"(?<=[月日号])\s*[~～\-—]\s*(?=\d{1,2}\s*[月日号]"
+                        r"|\d{4}\s*年)"),
+             lambda m: "到"),
+            # time ranges 9:00-18:00 → 9:00到18:00 (times converted below)
+            (re.compile(r"(\d{1,2}:\d{2}(?::\d{2})?)\s*[~～\-—]\s*"
+                        r"(?=\d{1,2}:\d{2})"),
+             lambda m: m.group(1) + "到"),
             (re.compile(r"(\d{2,4})\s*年"),
              lambda m: zh_digits(m.group(1)) + "年"),
             (re.compile(r"(\d{1,2})\s*月(\d{1,2})\s*[日号]"),
@@ -246,12 +259,22 @@ class ZhNormalizer:
                  else zh_int(int(m.group(2)))) + "分")),
             # hyphen/tilde ranges directly before a unit suffix run before the
             # phone rule (3-5元 is a range, not a number group): the right
-            # endpoint is left for the unit rules below. -3~2℃ reads 零下.
-            (re.compile(rf"(-?{n})\s*[~～\-—]\s*(?={n}\s*(?:[元块%‰]|°C|℃|℉"
+            # endpoint is left for the unit rules below. -3~2℃ reads 零下;
+            # the left endpoint may carry its own 万/亿 magnitude (3万-5万元).
+            (re.compile(rf"(-?{n})\s*(万亿|亿|万)?\s*[~～\-—]\s*"
+                        rf"(?={n}\s*(?:万亿|亿|万)?\s*(?:[元块%‰]|°C|℃|℉"
                         r"|万|亿|千米|千克|公斤|公里|厘米|毫米|毫升|米|岁|度|倍|人|次|天|年|个))"),
              lambda m: ("零下" + zh_number(m.group(1)[1:])
                         if m.group(1).startswith("-")
-                        else zh_number(m.group(1))) + "到"),
+                        else zh_number(m.group(1)))
+             + (m.group(2) or "") + "到"),
+            # percent/permille and temperature ranges: the dash after the
+            # unit reads 到 (50%-80% → 百分之五十到百分之八十; without this
+            # the percent rule would read the dash as a 负 sign)
+            (re.compile(r"(?<=[%‰])\s*[~～\-—]\s*(?=\d)"), lambda m: "到"),
+            (re.compile(r"(?:(?<=℃)|(?<=℉)|(?<=°C)|(?<=°F))"
+                        r"\s*[~～\-—]\s*(?=\d)"),
+             lambda m: "到"),
             # currency ranges before the phone rule (¥100-200 is not a phone)
             (re.compile(rf"[¥￥]\s*({n})\s*[~～\-—]\s*[¥￥]?\s*({n})"), rng_y),
             (re.compile(rf"\$\s*({n})\s*[~～\-—]\s*\$?\s*({n})"), rng_d),
@@ -354,6 +377,9 @@ class EnNormalizer:
             return lo + txt + hi
 
         self.rules: List[Tuple[re.Pattern, Callable[[re.Match], str]]] = [
+            # digit grouping: 100,000 → 100000 (before everything)
+            (re.compile(r"(?<!\d)(\d{1,3}(?:,\d{3})+)(?!\d)"),
+             lambda m: m.group(1).replace(",", "")),
             # time
             (re.compile(r"(\d{1,2}):00\s*(AM|PM|am|pm)?"),
              lambda m: en_int(int(m.group(1))) + " o'clock"
@@ -361,6 +387,11 @@ class EnNormalizer:
             (re.compile(r"(\d{1,2}):(\d{2})\s*(AM|PM|am|pm)?"),
              lambda m: en_int(int(m.group(1))) + " " + en_int(int(m.group(2)))
              + (f" {' '.join(m.group(3).upper())}" if m.group(3) else "")),
+            # year ranges BEFORE the phone rule: 1990-1995 → year to year
+            (re.compile(r"\b(1[0-9]{3}|20[0-9]{2})\s*[-~～—]\s*"
+                        r"(1[0-9]{3}|20[0-9]{2})\b"),
+             lambda m: en_year(int(m.group(1))) + " to "
+             + en_year(int(m.group(2)))),
             # phone-style digit runs
             (re.compile(r"\d{3,}(?:-\d{3,})+"),
              lambda m: en_digits(re.sub(r"-", "", m.group(0)))),
@@ -372,6 +403,8 @@ class EnNormalizer:
             (re.compile(rf"\$\s*({n})"),
              lambda m: en_number(m.group(1)) + " dollars"
              if m.group(1) not in ("1", "1.0") else "one dollar"),
+            # percent ranges: the dash after % reads "to"
+            (re.compile(r"(?<=%)\s*[-~～—]\s*(?=\d)"), lambda m: " to "),
             (re.compile(rf"({n})\s*%"), lambda m: en_number(m.group(1)) + " percent"),
             # temperature: -5°C → minus five degrees Celsius
             (re.compile(rf"(-?)({n})\s*(?:°C|℃)"),
@@ -389,6 +422,12 @@ class EnNormalizer:
             # years
             (re.compile(r"\b(1[0-9]{3}|20[0-9]{2})\b"),
              lambda m: en_year(int(m.group(0)))),
+            # small-number ranges: pages 10-20 → ten to twenty (AFTER years/
+            # phones/ordinals; hyphenated words like 5.5-inch keep the dash
+            # because the right side is not a bare integer)
+            (re.compile(r"\b(\d{1,3})\s*[-~～—]\s*(\d{1,3})\b(?![\d.\-])"),
+             lambda m: en_int(int(m.group(1))) + " to "
+             + en_int(int(m.group(2)))),
             # bare numbers (space-padded against letters: beta2 → beta two)
             (re.compile(n), lambda m: pad(m, en_number(m.group(0)))),
         ]

@@ -253,6 +253,21 @@ def test_normalizer_golden_zh(norm):
         "¥12999": "一万二千九百九十九元",
         "付了12.5元": "付了十二点五元",
         "$99.5": "九十九点五美元",
+        # magnitude-suffixed / unit ranges, date/time/percent/degree ranges
+        "3万-5万元": "三万到五万元",
+        "2024年1月-3月": "二零二四年一月到三月",
+        "6月1日-6月3日": "六月一日到六月三日",
+        "9:00-18:00": "九点到十八点",
+        "50%-80%": "百分之五十到百分之八十",
+        "涨了0.5%-1%": "涨了百分之零点五到百分之一",
+        "10℃-20℃": "十摄氏度到二十摄氏度",
+        # 亿 / 万亿 mixed readings, digit grouping
+        "2.3亿用户": "二点三亿用户",
+        "涨幅达1.5万亿": "涨幅达一点五万亿",
+        "5万亿元": "五万亿元",
+        "1亿2000万": "一亿二千万",
+        "双十一成交额5403亿元": "双十一成交额五千四百零三亿元",
+        "1,024元": "一千零二十四元",
         # phones / digit strings
         "110": "一百一十",
         "拨打13812345678": "拨打幺三八幺二三四五六七八",
@@ -282,6 +297,14 @@ def test_normalizer_golden_en(norm):
         "72°F today": "seventy two degrees Fahrenheit today",
         "a 25% discount": "a twenty five percent discount",
         "3/8 of an inch": "three eighths of an inch",
+        # ranges / digit grouping
+        "from 1990-1995": "from nineteen ninety to nineteen ninety five",
+        "pages 10-20": "pages ten to twenty",
+        "2-3 weeks": "two to three weeks",
+        "90%-95% ratio": "ninety percent to ninety five percent ratio",
+        "a 5.5-inch screen": "a five point five-inch screen",
+        "100,000 people": "one hundred thousand people",
+        "See you at 7:45": "See you at seven forty five",
     }
     for src, want in golden.items():
         assert norm.normalize(src) == want, (src, norm.normalize(src))
