@@ -375,8 +375,14 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         pcache = gpt_model.init_cache(cfg, b, s0, dtype=prefix_emb.dtype)
         h, pcache = gpt_model.trunk_prefill(params, cfg, prefix_emb,
                                             pad_keep, pcache)
-        kg, vg = gpt_model.init_gen_cache(cfg, bn, max_steps,
-                                          dtype=prefix_emb.dtype)
+        if anc:
+            # heads-major (L, B, H, nb, G, D) layout: transpose-free
+            # ancestry-routed attention (gpt.init_gen_cache_anc)
+            kg, vg = gpt_model.init_gen_cache_anc(cfg, b, nb, max_steps,
+                                                  dtype=prefix_emb.dtype)
+        else:
+            kg, vg = gpt_model.init_gen_cache(cfg, bn, max_steps,
+                                              dtype=prefix_emb.dtype)
         cache = gpt_model.SplitCache(
             cs(pcache.k, None, "data", "model"),
             cs(pcache.v, None, "data", "model"),

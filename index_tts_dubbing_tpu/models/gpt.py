@@ -329,6 +329,16 @@ def trunk_decode_step_split(params: Params, cfg: GPTConfig, x: jnp.ndarray,
     return h, SplitCache(cache.kp, cache.vp, kg_all, vg_all)
 
 
+def init_gen_cache_anc(cfg: GPTConfig, b: int, nb: int, gen_len: int,
+                       dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gen-region cache in the ANC layout (L, B, H, nb, G, D): heads-major
+    so the ancestry-routed attention einsums batch over (b, h) with the
+    (nb, G, D) operand block contiguous — no big-tensor transposes (the
+    (L, BN, H, G, D) layout costs ~6 ms/step of relayout at B=16·nb=3)."""
+    shape = (cfg.layers, b, cfg.heads, nb, gen_len, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
 def trunk_decode_step_split_anc(params: Params, cfg: GPTConfig,
                                 x: jnp.ndarray, cache: SplitCache,
                                 slot: jnp.ndarray, keep_p: jnp.ndarray,
@@ -346,6 +356,10 @@ def trunk_decode_step_split_anc(params: Params, cfg: GPTConfig,
     the 2·L·BN·H·G·D cache reorder traffic (the dominant term of the r03
     "split" strategy, 12.4 ms/step at B=16·nb=3) disappears entirely.
 
+    cache.kg/vg use the ANC layout (L, B, H, nb, G, D) — see
+    init_gen_cache_anc — so every einsum below is transpose-free: batch
+    dims (b, h) lead and the contracted/free (nb, G, D) block is contiguous.
+
     The current step's write goes to physical row == logical row, so the
     map at ``slot`` is forced to identity here (the selection-time gather in
     decode.py updates it afterwards). Replaces HF `_reorder_cache`
@@ -354,10 +368,11 @@ def trunk_decode_step_split_anc(params: Params, cfg: GPTConfig,
     params = _ensure_stacked(params)
     bn = x.shape[0]
     b = bn // nb
-    g_len = cache.kg.shape[3]
+    g_len = cache.kg.shape[4]
     H, D = cfg.heads, cfg.head_dim
+    # logits live in (b, h, n, s) layout throughout
     pbias = jnp.where(keep_p, 0.0, -1e30).astype(jnp.float32)  # (B, S0)
-    pbias = pbias[:, None, None, :]
+    pbias = pbias[:, None, None, :]                            # (b,1,1,S0)
     gbias = jnp.where(jnp.arange(g_len)[None, :] <= slot, 0.0,
                       -1e30).astype(jnp.float32)[:, None, None, :]
     scale = 1.0 / math.sqrt(cfg.head_dim)
@@ -376,38 +391,37 @@ def trunk_decode_step_split_anc(params: Params, cfg: GPTConfig,
         h = nn.layer_norm(blk["ln1"], x)
         qkv = nn.linear(blk["attn"]["qkv"], h)
         q, k, v = jnp.split(qkv, 3, axis=-1)                   # (BN, C)
-        q = q.reshape(bn, H, D)
-        k = k.reshape(bn, H, D)
-        v = v.reshape(bn, H, D)
-        kg_all = jax.lax.dynamic_update_slice(
-            kg_all, k[None, :, :, None].astype(kg_all.dtype),
-            (li, 0, 0, slot, 0))
-        vg_all = jax.lax.dynamic_update_slice(
-            vg_all, v[None, :, :, None].astype(vg_all.dtype),
-            (li, 0, 0, slot, 0))
         qb = q.reshape(b, nb, H, D)
-        lp = jnp.einsum("bnhd,bhsd->bnhs", qb,
+        k = k.reshape(b, nb, H, D).transpose(0, 2, 1, 3)       # (b,H,nb,D)
+        v = v.reshape(b, nb, H, D).transpose(0, 2, 1, 3)
+        kg_all = jax.lax.dynamic_update_slice(
+            kg_all, k[None, :, :, :, None].astype(kg_all.dtype),
+            (li, 0, 0, 0, slot, 0))
+        vg_all = jax.lax.dynamic_update_slice(
+            vg_all, v[None, :, :, :, None].astype(vg_all.dtype),
+            (li, 0, 0, 0, slot, 0))
+        lp = jnp.einsum("bnhd,bhsd->bhns", qb,
                         cache.kp[li].astype(q.dtype),
                         preferred_element_type=jnp.float32) * scale
-        lp = lp + pbias                                        # (B,nb,H,S0)
+        lp = lp + pbias                                        # (b,h,n,S0)
         # scores against every physical row of the group, ancestor selected
         # by the one-hot (the selected term is the identical q·k dot product
         # the physically-reordered step computes)
-        kg_b = kg_all[li].astype(q.dtype).reshape(b, nb, H, g_len, D)
-        s_all = jnp.einsum("bnhd,bmhgd->bnmhg", qb, kg_b,
+        kg_b = kg_all[li].astype(q.dtype)                      # (b,H,m,G,D)
+        s_all = jnp.einsum("bnhd,bhmgd->bhnmg", qb, kg_b,
                            preferred_element_type=jnp.float32) * scale
-        lg = jnp.einsum("bnmhg,bnmg->bnhg", s_all, anc_f) + gbias
-        logits = jnp.concatenate([lp, lg], axis=-1)            # (B,nb,H,S0+G)
+        lg = jnp.einsum("bhnmg,bnmg->bhng", s_all, anc_f) + gbias
+        logits = jnp.concatenate([lp, lg], axis=-1)            # (b,h,n,S0+G)
         w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         s0 = cache.kp.shape[3]
         wp, wg = w[..., :s0], w[..., s0:]
-        o = jnp.einsum("bnhs,bhsd->bnhd", wp, cache.vp[li].astype(x.dtype),
+        o = jnp.einsum("bhns,bhsd->bhnd", wp, cache.vp[li].astype(x.dtype),
                        preferred_element_type=x.dtype)
-        wgm = wg[:, :, None, :, :] * anc_c[:, :, :, None, :]   # (b,n,m,H,G)
-        vg_b = vg_all[li].astype(x.dtype).reshape(b, nb, H, g_len, D)
-        o = o + jnp.einsum("bnmhg,bmhgd->bnhd", wgm, vg_b,
+        wgm = wg[:, :, :, None, :] * anc_c[:, None, :, :, :]   # (b,h,n,m,G)
+        o = o + jnp.einsum("bhnmg,bhmgd->bhnd", wgm,
+                           vg_all[li].astype(x.dtype),
                            preferred_element_type=x.dtype)
-        o = o.reshape(bn, H * D)
+        o = o.transpose(0, 2, 1, 3).reshape(bn, H * D)         # (bn, C)
         x = x + nn.linear(blk["attn"]["proj"], o)
         x = x + _mlp(cfg, blk["mlp"], nn.layer_norm(blk["ln2"], x))
     h = nn.layer_norm(params["ln_f"], x)
