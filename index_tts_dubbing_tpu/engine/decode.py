@@ -199,13 +199,19 @@ def _mk_constrain(mesh: Optional[Mesh]):
 @partial(jax.jit, static_argnames=("cfg", "sc", "mesh"))
 def generate(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
              prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
-             rng: jax.Array, mesh: Optional[Mesh] = None) -> GenerateResult:
+             rng: jax.Array, mesh: Optional[Mesh] = None,
+             live: Optional[jnp.ndarray] = None) -> GenerateResult:
     """Sample mel codes. prefix_emb (B, S0, C) ends with the start_mel slot.
 
     ``mesh`` (static): a (data, model) jax.sharding.Mesh for DP×TP decode —
     the KV cache is sharded (L, B→data, H→model, S, D) so the decode loop's
     state stays distributed; XLA inserts the per-block TP all-reduces from
-    the param shardings (parallel/mesh.py:gpt_param_specs)."""
+    the param shardings (parallel/mesh.py:gpt_param_specs).
+
+    ``live`` (B,) bool: rows marked False are batch padding (the engine pads
+    the batch to the data-axis multiple under a mesh) — they emit the stop
+    token at step 0 and never gate the loop, so pad rows cost no decode
+    steps instead of duplicating a real row's full decode."""
     b, s0, c = prefix_emb.shape
     max_steps = sc.max_mel_tokens
     s_total = s0 + max_steps
@@ -239,6 +245,8 @@ def generate(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
 
     key0, key1 = jax.random.split(rng)
     tok0 = sample_token(h, seen0, key1)
+    if live is not None:
+        tok0 = jnp.where(live, tok0, cfg.stop_mel_token)
     done0 = tok0 == cfg.stop_mel_token
     tokens0 = jnp.full((b, max_steps), cfg.stop_mel_token, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(tok0.astype(jnp.int32))
@@ -340,8 +348,8 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                  prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
                  rng: jax.Array, num_beams: int, length_penalty: float,
                  stochastic: bool, mesh: Optional[Mesh] = None,
-                 reorder: str = "split",
-                 debug_state: bool = False) -> GenerateResult:
+                 reorder: str = "anc", debug_state: bool = False,
+                 live: Optional[jnp.ndarray] = None) -> GenerateResult:
     b, s0, c = prefix_emb.shape
     nb = num_beams
     bn = b * nb
@@ -360,8 +368,9 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         # the shard-local grouped einsum permutation instead
         reorder = "split"
     cof = reorder in ("cof", "cofdense")
-    anc = reorder == "anc"
-    split = reorder in ("split", "splitnone", "cof", "cofdense", "anc")
+    anc = reorder in ("anc", "ancnone")
+    split = reorder in ("split", "splitnone", "cof", "cofdense", "anc",
+                        "ancnone")
     if split:
         # SplitCache: the prefix is stored ONCE per batch row (frozen,
         # shared by its beams at attention time); only the generated region
@@ -411,9 +420,16 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     # --- beam-history reorder ----------------------------------------------
     # The HF `_reorder_cache` equivalent (gpt/model.py:194-207) gathers the
     # FULL cache per step. Strategies (static ``reorder``), measured at
-    # B=16·nb=3·192 steps on TPU v5e (tools/profile_beam_step.py r03;
+    # B=16·nb=3·192 steps on TPU v5e (tools/profile_beam_step.py r03/r04;
     # no-reorder baseline 5.2 ms/step):
-    #  "split"  (DEFAULT, 17.6 ms/step) — SplitCache + full-bn one-hot MXU
+    #  "anc"    (DEFAULT r04, 10.6 ms/step) — SplitCache + per-slot ancestry
+    #           map, ZERO physical reorder: attention routes through the map
+    #           (gpt.trunk_decode_step_split_anc; heads-major gen cache).
+    #           The reorder's cache traffic disappears; the residual +5.3
+    #           ms over the no-reorder floor is the extra score/value dot
+    #           passes per layer ("ancnone" isolates it: 10.63), not the
+    #           map bookkeeping. Token-bitwise == "full" on CPU.
+    #  "split"  (r03 default, 17.6 ms/step) — SplitCache + full-bn one-hot MXU
     #           einsum over the gen region. The einsum streams the cache
     #           through HBM exactly once (~205 GB/s effective) — 2.4-3×
     #           any gather lowering at these shapes.
@@ -450,6 +466,11 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         / physical→logical row maps only change under "cof"; the per-slot
         ancestry map only under "anc" (which never moves cache rows at all);
         all other strategies physically reorder and keep identity maps."""
+        if reorder == "ancnone":
+            # PROFILING ONLY: anc trunk step with the amap update skipped
+            # (wrong numerics on non-identity switches) — isolates the
+            # ancestry-routed attention's cost from the map bookkeeping.
+            return cache, m, inv, amap
         if anc:
             # zero-copy: slot j-1 (just written, physical==logical) is
             # stamped identity, then the whole map is gathered by the
@@ -731,6 +752,9 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     pool_tok0 = jnp.full((b, nb, max_steps), cfg.stop_mel_token, jnp.int32)
     pool_len0 = jnp.zeros((b, nb), jnp.int32)
     done0 = jnp.zeros((b,), bool)
+    if live is not None:
+        # batch-padding rows (engine mesh padding) freeze at step 0
+        done0 = done0 | ~live
     m0 = jnp.arange(bn, dtype=jnp.int32)   # logical→physical row map (cof)
     inv0 = jnp.arange(bn, dtype=jnp.int32)  # physical→logical row map (cof)
     # per-slot ancestry map (anc): (b, nb, G) logical beam × gen slot →
@@ -813,23 +837,26 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
 def generate_beam(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                   prefix_emb: jnp.ndarray, pad_keep: jnp.ndarray,
                   num_beams: int = 3, length_penalty: float = 0.0,
-                  mesh: Optional[Mesh] = None) -> GenerateResult:
+                  mesh: Optional[Mesh] = None,
+                  live: Optional[jnp.ndarray] = None) -> GenerateResult:
     """Deterministic beam search (HF beam_search: do_sample=False with
     num_beams>1 at infer.py:326-334). Returns the best hypothesis per row."""
     return _beam_decode(params, cfg, sc, prefix_emb, pad_keep,
                         jax.random.PRNGKey(0), num_beams, length_penalty,
-                        stochastic=False, mesh=mesh)
+                        stochastic=False, mesh=mesh, live=live)
 
 
 def generate_beam_sample(params: Dict[str, Any], cfg: GPTConfig,
                          sc: SamplingConfig, prefix_emb: jnp.ndarray,
                          pad_keep: jnp.ndarray, rng: jax.Array,
                          num_beams: int = 3, length_penalty: float = 0.0,
-                         mesh: Optional[Mesh] = None) -> GenerateResult:
+                         mesh: Optional[Mesh] = None,
+                         live: Optional[jnp.ndarray] = None
+                         ) -> GenerateResult:
     """Stochastic beam sampling (HF beam_sample) — the reference's DEFAULT
     decode mode (do_sample=True, num_beams=3; infer.py:326-334 →
     gpt/model.py:698-703). Candidates are drawn without replacement via
     Gumbel top-k, distributionally identical to torch.multinomial."""
     return _beam_decode(params, cfg, sc, prefix_emb, pad_keep, rng,
                         num_beams, length_penalty, stochastic=True,
-                        mesh=mesh)
+                        mesh=mesh, live=live)

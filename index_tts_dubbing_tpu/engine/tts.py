@@ -453,12 +453,18 @@ class IndexTTS:
         chip pipelines them while the host post-processes earlier results
         (stage overlap, SURVEY §2.3 async row)."""
         n_real = len(token_rows)
+        live = None
         if self.mesh is not None:
-            # batch must tile the data axis: pad with copies of the last row
-            # (their outputs are dropped below)
+            # batch must tile the data axis: pad with single-token dummy
+            # rows marked dead via ``live`` — they emit stop at step 0
+            # instead of duplicating a real row's full decode
             dp = self.mesh.shape["data"]
             pad_n = (-n_real) % dp
-            token_rows = list(token_rows) + [token_rows[-1]] * pad_n
+            if pad_n:
+                token_rows = (list(token_rows)
+                              + [np.array([2], np.int32)] * pad_n)
+                live = jnp.asarray(
+                    np.arange(len(token_rows)) < n_real)
         lmax = max(r.size for r in token_rows)
         pad_to = next((b for b in self.TEXT_BUCKETS if b >= lmax), lmax)
         pre = decode_mod.prepare_prefix_host(self.gpt_cfg, token_rows,
@@ -471,16 +477,18 @@ class IndexTTS:
                 res = decode_mod.generate_beam_sample(
                     self.params["gpt"], self.gpt_cfg, sc, emb, keep,
                     self._next_key(), num_beams=self._num_beams,
-                    length_penalty=self._length_penalty, mesh=self.mesh)
+                    length_penalty=self._length_penalty, mesh=self.mesh,
+                    live=live)
             else:
                 res = decode_mod.generate_beam(
                     self.params["gpt"], self.gpt_cfg, sc, emb, keep,
                     num_beams=self._num_beams,
-                    length_penalty=self._length_penalty, mesh=self.mesh)
+                    length_penalty=self._length_penalty, mesh=self.mesh,
+                    live=live)
         else:
             res = decode_mod.generate(self.params["gpt"], self.gpt_cfg, sc,
                                       emb, keep, self._next_key(),
-                                      mesh=self.mesh)
+                                      mesh=self.mesh, live=live)
         return res, n_real
 
     def _bucket_dims(self, lt: int, code_len: int) -> Tuple[int, int]:

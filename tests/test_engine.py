@@ -174,6 +174,54 @@ def test_gr_progress_driven(engine, tmp_path):
         assert any("speech" in d for _, d in calls)
 
 
+def test_generate_live_mask_pads_are_free(engine, rng):
+    """Batch-padding rows marked dead via ``live`` emit stop at step 0
+    (length 0) and leave live rows' tokens untouched (mesh batch padding,
+    r03 weak #7: padding used to duplicate a real row's full decode)."""
+    import jax
+    import jax.numpy as jnp
+    from index_tts_dubbing_tpu.engine import decode as decode_mod
+    cfg = engine.gpt_cfg
+    params = engine.params["gpt"]
+    rows = [rng.integers(2, 100, size=n).astype(np.int32) for n in (6, 9)]
+    conds = jnp.asarray(rng.standard_normal(
+        (1, cfg.condition_num_latent, cfg.model_dim)).astype(np.float32))
+    sc = decode_mod.SamplingConfig(do_sample=False, max_mel_tokens=10)
+    key = jax.random.PRNGKey(0)
+
+    def run(token_rows, live):
+        pre = decode_mod.prepare_prefix_host(cfg, token_rows, pad_to=16)
+        emb, keep = decode_mod.build_prefix_emb(
+            params, cfg, conds, pre["ids"], pre["pos"], pre["seg"],
+            pre["cond_idx"])
+        return decode_mod.generate(params, cfg, sc, emb, keep, key,
+                                   live=live)
+
+    ref = run(rows, None)
+    padded = rows + [np.array([2], np.int32)] * 2
+    out = run(padded, jnp.asarray([True, True, False, False]))
+    np.testing.assert_array_equal(np.asarray(out.codes)[:2],
+                                  np.asarray(ref.codes))
+    assert (np.asarray(out.lengths)[2:] == 0).all()
+    # beam path: dead rows freeze, live rows match the unpadded call
+    bref = decode_mod.generate_beam(params, cfg, sc,
+                                    *_prefix(params, cfg, conds, rows),
+                                    num_beams=2)
+    bout = decode_mod.generate_beam(
+        params, cfg, sc, *_prefix(params, cfg, conds, padded), num_beams=2,
+        live=jnp.asarray([True, True, False, False]))
+    np.testing.assert_array_equal(np.asarray(bout.codes)[:2],
+                                  np.asarray(bref.codes))
+
+
+def _prefix(params, cfg, conds, rows):
+    from index_tts_dubbing_tpu.engine import decode as decode_mod
+    pre = decode_mod.prepare_prefix_host(cfg, rows, pad_to=16)
+    return decode_mod.build_prefix_emb(params, cfg, conds, pre["ids"],
+                                       pre["pos"], pre["seg"],
+                                       pre["cond_idx"])
+
+
 def test_infer_fast_routes_through_fused(engine, tmp_path):
     """The public infer_fast surface rides the fused one-program path on
     eligible workloads, and its audio equals a direct synthesize_fused call
