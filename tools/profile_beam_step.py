@@ -1,7 +1,7 @@
 """Beam decode reorder-strategy microbench: ms/step per strategy on chip.
 
 Usage: python tools/profile_beam_step.py [steps] [batch] [strategies...]
-Defaults: 64 steps, B=16, nb=3, strategies gen,full,blocked.
+Defaults: 64 steps, B=16, nb=3, strategies anc,split,splitnone.
 """
 import os
 import sys
@@ -22,8 +22,8 @@ def main():
     args = [a for a in sys.argv[1:]]
     steps = int(args[0]) if len(args) > 0 else 64
     batch = int(args[1]) if len(args) > 1 else 16
-    strats = args[2].split(",") if len(args) > 2 else ["gen", "full",
-                                                       "blocked"]
+    strats = args[2].split(",") if len(args) > 2 else ["anc", "split",
+                                                       "splitnone"]
 
     cfg = GPTConfig()
     with jax.default_device(jax.devices("cpu")[0]):
