@@ -369,9 +369,29 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         reorder = "split"
     cof = reorder in ("cof", "cofdense")
     anc = reorder in ("anc", "ancnone")
+    ancfull = reorder == "ancfull"
     split = reorder in ("split", "splitnone", "cof", "cofdense", "anc",
                         "ancnone")
-    if split:
+    keep_full = None
+    if ancfull:
+        # merged-buffer ancestry decode: nb-replicated prefix + gen region
+        # in ONE (L, B, H, nb, S, D) cache — one score dot + one value dot
+        # per layer (gpt.trunk_decode_step_anc_full)
+        pcache = gpt_model.init_cache(cfg, b, s0, dtype=prefix_emb.dtype)
+        h, pcache = gpt_model.trunk_prefill(params, cfg, prefix_emb,
+                                            pad_keep, pcache)
+        kf = jnp.zeros((L, b, H, nb, s_total, D), prefix_emb.dtype)
+        vf = jnp.zeros((L, b, H, nb, s_total, D), prefix_emb.dtype)
+        kf = kf.at[:, :, :, :, :s0, :].set(pcache.k[:, :, :, None])
+        vf = vf.at[:, :, :, :, :s0, :].set(pcache.v[:, :, :, None])
+        cache = gpt_model.KVCache(cs(kf, None, "data", "model"),
+                                  cs(vf, None, "data", "model"))
+        keep_full = jnp.concatenate(
+            [pad_keep, jnp.ones((b, max_steps), bool)], axis=1)
+        base_keep = None
+    if ancfull:
+        pass  # cache built above
+    elif split:
         # SplitCache: the prefix is stored ONCE per batch row (frozen,
         # shared by its beams at attention time); only the generated region
         # (L, bn, H, G, D) exists per beam and is ever reordered.
@@ -471,7 +491,7 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
             # (wrong numerics on non-identity switches) — isolates the
             # ancestry-routed attention's cost from the map bookkeeping.
             return cache, m, inv, amap
-        if anc:
+        if anc or ancfull:
             # zero-copy: slot j-1 (just written, physical==logical) is
             # stamped identity, then the whole map is gathered by the
             # ancestry switch — composed pointers instead of cache traffic.
@@ -480,8 +500,9 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
             # attention-masked.)
             ident = jnp.broadcast_to(
                 jnp.arange(nb, dtype=amap.dtype)[None, :, None], (b, nb, 1))
+            ofs = s0 if ancfull else 0  # ancfull maps ABSOLUTE cache slots
             amap2 = jax.lax.dynamic_update_slice(
-                amap, ident, (0, 0, jnp.asarray(j, jnp.int32) - 1))
+                amap, ident, (0, 0, ofs + jnp.asarray(j, jnp.int32) - 1))
             amap2 = jnp.take_along_axis(amap2, src[..., None], axis=1)
             return cache, m, inv, cs(amap2, "data")
         if reorder == "splitnone":
@@ -759,7 +780,10 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     inv0 = jnp.arange(bn, dtype=jnp.int32)  # physical→logical row map (cof)
     # per-slot ancestry map (anc): (b, nb, G) logical beam × gen slot →
     # physical beam index within the row; identity until slots are written
-    amap0 = cs(jnp.zeros((b, nb, max_steps), jnp.int32)
+    # (ancfull: over the ABSOLUTE cache axis; prefix rows are replicated so
+    # their ancestry values are irrelevant)
+    amap_len = s_total if ancfull else max_steps
+    amap0 = cs(jnp.zeros((b, nb, amap_len), jnp.int32)
                + jnp.arange(nb, dtype=jnp.int32)[None, :, None], "data")
     cand, src, tok, best = select_candidates(logp0, beam_scores0, sub0)
     (tokens, beam_scores, prev, cache, seen, pool_norm, pool_tok, pool_len,
@@ -773,7 +797,13 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         key, sub = jax.random.split(key)
         emb = (jnp.take(params["mel_emb"]["w"], prev, axis=0)
                + params["mel_pos"]["w"][j + 1]).astype(prefix_emb.dtype)
-        if cof:
+        if ancfull:
+            hh, kf, vf = gpt_model.trunk_decode_step_anc_full(
+                params, cfg, emb, cache.k, cache.v, s0 + j - 1, keep_full,
+                nb, amap)
+            cache = gpt_model.KVCache(cs(kf, None, "data", "model"),
+                                      cs(vf, None, "data", "model"))
+        elif cof:
             # the trunk step runs in PHYSICAL row order: permute the token
             # embeddings in (by the physical→logical map) and gather the
             # hidden states back out (by the logical→physical map) — two

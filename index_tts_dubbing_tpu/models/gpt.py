@@ -428,6 +428,72 @@ def trunk_decode_step_split_anc(params: Params, cfg: GPTConfig,
     return h, SplitCache(cache.kp, cache.vp, kg_all, vg_all)
 
 
+def trunk_decode_step_anc_full(params: Params, cfg: GPTConfig,
+                               x: jnp.ndarray, kf: jnp.ndarray,
+                               vf: jnp.ndarray, slot_abs: jnp.ndarray,
+                               keep_p: jnp.ndarray, nb: int,
+                               amap: jnp.ndarray
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                          jnp.ndarray]:
+    """Ancestry-routed decode step over ONE merged cache buffer
+    (L, B, H, nb, S, D) holding the nb-replicated prefix AND the gen
+    region: ONE score dot and ONE value dot per layer instead of the
+    SplitCache step's two each (prefix + gen) — small-dot issue count is
+    the measured residual cost of the anc step. The prefix is replicated
+    per beam at prefill (identical rows, so the ancestry values over the
+    prefix region are irrelevant); ``amap`` (B, nb, S) routes the gen
+    region exactly as trunk_decode_step_split_anc. Trades ~37% more
+    attention-read traffic (replicated prefix) for 2 fewer dots/layer.
+    """
+    params = _ensure_stacked(params)
+    bn = x.shape[0]
+    b = bn // nb
+    s_total = kf.shape[4]
+    H, D = cfg.heads, cfg.head_dim
+    # validity: real prefix slots (shared per row) + gen slots <= slot_abs
+    keep = keep_p & (jnp.arange(s_total)[None, :] <= slot_abs)
+    kbias = jnp.where(keep, 0.0, -1e30).astype(jnp.float32)  # (B, S)
+    kbias = kbias[:, None, None, :]                          # (b,1,1,S)
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    ident = jnp.broadcast_to(
+        jnp.arange(nb, dtype=amap.dtype)[None, :, None], (b, nb, 1))
+    amap_eff = jax.lax.dynamic_update_slice(
+        amap, ident, (0, 0, slot_abs))
+    anc = (amap_eff[:, :, None, :]
+           == jnp.arange(nb, dtype=amap.dtype)[None, None, :, None])
+    anc_f = anc.astype(jnp.float32)                 # (B, n, m, S)
+    anc_c = anc.astype(x.dtype)
+    blocks = params["blocks"]
+    for li in range(cfg.layers):
+        blk = jax.tree.map(lambda a: a[li], blocks)
+        h = nn.layer_norm(blk["ln1"], x)
+        qkv = nn.linear(blk["attn"]["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)                   # (BN, C)
+        qb = q.reshape(b, nb, H, D)
+        k = k.reshape(b, nb, H, D).transpose(0, 2, 1, 3)       # (b,H,nb,D)
+        v = v.reshape(b, nb, H, D).transpose(0, 2, 1, 3)
+        kf = jax.lax.dynamic_update_slice(
+            kf, k[None, :, :, :, None].astype(kf.dtype),
+            (li, 0, 0, 0, slot_abs, 0))
+        vf = jax.lax.dynamic_update_slice(
+            vf, v[None, :, :, :, None].astype(vf.dtype),
+            (li, 0, 0, 0, slot_abs, 0))
+        s_all = jnp.einsum("bnhd,bhmsd->bhnms", qb,
+                           kf[li].astype(q.dtype),
+                           preferred_element_type=jnp.float32) * scale
+        logits = jnp.einsum("bhnms,bnms->bhns", s_all, anc_f) + kbias
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        wgm = w[:, :, :, None, :] * anc_c[:, None, :, :, :]    # (b,h,n,m,S)
+        o = jnp.einsum("bhnms,bhmsd->bhnd", wgm,
+                       vf[li].astype(x.dtype),
+                       preferred_element_type=x.dtype)
+        o = o.transpose(0, 2, 1, 3).reshape(bn, H * D)
+        x = x + nn.linear(blk["attn"]["proj"], o)
+        x = x + _mlp(cfg, blk["mlp"], nn.layer_norm(blk["ln2"], x))
+    h = nn.layer_norm(params["ln_f"], x)
+    return h, kf, vf
+
+
 # ---------------------------------------------------------------------------
 # UnifiedVoice-level ops
 # ---------------------------------------------------------------------------
