@@ -53,6 +53,12 @@ def main(argv=None):
     ap.add_argument("--strategies", default="cb,bucket")
     ap.add_argument("--small", action="store_true",
                     help="tiny model (CPU smoke test of the harness)")
+    ap.add_argument("--hetero", action="store_true",
+                    help="heterogeneous per-request decode lengths "
+                         "(lognormal caps, the duration-targeted dubbing "
+                         "profile): CB caps each slot via max_new; the "
+                         "bucketed server decodes each batch at the "
+                         "64/128/192 bucket of its longest member")
     args = ap.parse_args(argv)
 
     import jax
@@ -89,10 +95,18 @@ def main(argv=None):
     gaps = rng.exponential(1.0 / args.rate, size=args.n)
     arrivals = np.cumsum(gaps)
     arrivals[0] = 0.0
+    if args.hetero:
+        req_steps = np.clip(np.round(np.exp(
+            rng.normal(np.log(80), 0.6, size=args.n))).astype(int),
+            24, args.steps)
+    else:
+        req_steps = np.full(args.n, args.steps)
+    step_buckets = [b for b in (64, 128, args.steps)
+                    if b <= args.steps] or [args.steps]
     conds = jnp.asarray(rng.standard_normal(
         (1, cfg.condition_num_latent, cfg.model_dim)).astype(np.float32))
     sc = decode_mod.SamplingConfig(do_sample=True, max_mel_tokens=args.steps)
-    audio_s_per_req = args.steps * 1024 / 24000.0
+    audio_total = float(req_steps.sum()) * 1024 / 24000.0
 
     def prefix(batch_rows):
         pre = decode_mod.prepare_prefix_host(cfg, batch_rows,
@@ -144,7 +158,8 @@ def main(argv=None):
                 slot = free.pop(0)
                 state = cb.insert(params, cfg, sc, state, jnp.int32(slot),
                                   h[0:1], KVCache(kv.k[:, 0:1],
-                                                  kv.v[:, 0:1]), keep[0:1])
+                                                  kv.v[:, 0:1]), keep[0:1],
+                                  max_new=jnp.int32(int(req_steps[arr_i])))
                 slot_uid[slot] = arr_i
                 arr_i += 1
             if all(u < 0 for u in slot_uid):
@@ -172,12 +187,17 @@ def main(argv=None):
     # ---------------- bucketed-batch server ------------------------------
     def run_bucket():
         B = args.slots
-        # one fixed program shape: pad the batch with repeats of row 0
-        log("  [bucket] warmup compile...")
-        emb, keep = prefix([rows[0]] * B)
+        # one program shape per decode-length bucket (batch padded with
+        # repeats of the first taken row)
+        scs = {b: decode_mod.SamplingConfig(do_sample=True,
+                                            max_mel_tokens=b)
+               for b in step_buckets}
+        log("  [bucket] warmup compiles...")
         key = jax.random.PRNGKey(2)
-        res = decode_mod.generate(params, cfg, sc, emb, keep, key)
-        np.asarray(res.codes)
+        emb, keep = prefix([rows[0]] * B)
+        for b, sc_b in scs.items():
+            np.asarray(decode_mod.generate(params, cfg, sc_b, emb, keep,
+                                           key).codes)
 
         completed = {}
         arr_i = 0
@@ -192,12 +212,18 @@ def main(argv=None):
                 time.sleep(max(arrivals[arr_i]
                                - (time.perf_counter() - t0), 0.0))
                 continue
+            # take the B shortest pending (sorted admission bounds the
+            # batch's decode-length bucket)
+            pending.sort(key=lambda i: req_steps[i])
             take = pending[:B]
             pending = pending[len(take):]
+            bucket = next(b for b in step_buckets
+                          if b >= max(req_steps[i] for i in take))
             batch_rows = [rows[i] for i in take]
             batch_rows += [rows[take[0]]] * (B - len(take))
             emb, keep = prefix(batch_rows)
-            res = decode_mod.generate(params, cfg, sc, emb, keep, key)
+            res = decode_mod.generate(params, cfg, scs[bucket], emb, keep,
+                                      key)
             np.asarray(res.codes)                  # batch-completion sync
             tdone = time.perf_counter() - t0
             for i in take:
@@ -212,7 +238,7 @@ def main(argv=None):
         results[strat] = dict(
             p50=pct(lat, 50), p95=pct(lat, 95), mean=float(np.mean(lat)),
             makespan=makespan,
-            audio_s_per_s=args.n * audio_s_per_req / makespan)
+            audio_s_per_s=audio_total / makespan)
         log(f"  {strat}: p50 {results[strat]['p50']:.2f}s  "
             f"p95 {results[strat]['p95']:.2f}s  "
             f"mean {results[strat]['mean']:.2f}s  "
@@ -221,7 +247,8 @@ def main(argv=None):
 
     print("\nworkload: "
           f"N={args.n} rate={args.rate}/s text={args.text} "
-          f"steps={args.steps} slots={args.slots} chunk={args.chunk} "
+          f"steps={'hetero(24..%d med %d)' % (args.steps, int(np.median(req_steps))) if args.hetero else args.steps} "
+          f"slots={args.slots} chunk={args.chunk} "
           f"dtype={'fp32' if args.fp32 else 'bf16'}")
     hdr = f"{'strategy':9s} {'p50':>7s} {'p95':>7s} {'mean':>7s} " \
           f"{'makespan':>9s} {'audio-s/s':>10s}"
