@@ -57,6 +57,52 @@ class FusedResult(NamedTuple):
                             # path when stream_frames < window + 2·halo
 
 
+class FusedLatResult(NamedTuple):
+    codes: jnp.ndarray           # (B, steps) raw generated codes (pre-trim)
+    gen_lengths: jnp.ndarray     # (B,) pre-trim lengths
+    lens: jnp.ndarray            # (B,) post-trim latent frames per row
+    lat: jnp.ndarray             # (B, steps, C) latent-pass output
+
+
+@partial(jax.jit, static_argnames=("gpt_cfg", "sc", "num_beams"))
+def synthesize_fused_lat(gpt_params: Dict[str, Any], gpt_cfg: GPTConfig,
+                         sc: decode_mod.SamplingConfig, conds: jnp.ndarray,
+                         ids: jnp.ndarray, pos: jnp.ndarray,
+                         seg: jnp.ndarray, cond_idx: jnp.ndarray,
+                         text_ids: jnp.ndarray, text_lens: jnp.ndarray,
+                         rng: jax.Array, length_penalty: float = 0.0,
+                         *, num_beams: int = 1) -> FusedLatResult:
+    """Fused decode → trim → latent as ONE program, WITHOUT the vocoder.
+
+    The full synthesize_fused vocodes a STATIC ceil(B·steps/window) window
+    count — exact-cost when rows decode to ≈ steps (duration-capped
+    dubbing, the bench), but up to steps/actual× wasted vocoder compute
+    when decode stops early under a loose cap (the reference's 600-token
+    default on ordinary sentences). This variant ends at the latent pass;
+    the engine then vocodes through the window-exact device-resident
+    stream (engine/vocoder.stream_device), paying one host sync for the
+    actual lens instead of a worst-case static vocode."""
+    b = ids.shape[0]
+    emb, keep = decode_mod.build_prefix_emb(gpt_params, gpt_cfg, conds, ids,
+                                            pos, seg, cond_idx)
+    if num_beams > 1:
+        res = decode_mod._beam_decode(gpt_params, gpt_cfg, sc, emb, keep,
+                                      rng, num_beams, length_penalty,
+                                      stochastic=sc.do_sample)
+    else:
+        res = decode_mod.generate(gpt_params, gpt_cfg, sc, emb, keep, rng)
+    from index_tts_dubbing_tpu.engine.tts import remove_long_silence_device
+    codes, lens = remove_long_silence_device(res.codes,
+                                             gpt_cfg.stop_mel_token)
+    cnds = conds
+    if cnds.shape[0] == 1 and b > 1:
+        cnds = jnp.broadcast_to(cnds, (b,) + cnds.shape[1:])
+    lat = gpt_model.forward_latent_bucketed(
+        gpt_params, gpt_cfg, cnds, text_ids, text_lens, codes,
+        lens.astype(jnp.int64))
+    return FusedLatResult(res.codes, res.lengths, lens, lat)
+
+
 @partial(jax.jit,
          static_argnames=("gpt_cfg", "bv_cfg", "sc", "num_windows", "window",
                           "halo", "use_pallas", "fuse_resblocks",

@@ -237,6 +237,13 @@ class IndexTTS:
     # batch-size buckets for the fused one-program route (bounds the compile
     # matrix; short dummy rows pad the batch and are cropped from the stream)
     FUSED_BATCH_BUCKETS = (1, 2, 4, 8, 16, 24, 32)
+    # above this decode cap the fused route vocodes through the
+    # window-exact device stream instead of the one-program static window
+    # plan: the full graph's ceil(B·steps/window) windows are exact-cost
+    # only when rows decode to ≈ steps; under a loose cap (the reference's
+    # 600 default) early-stopping rows would pay up to steps/actual×
+    # wasted static vocode (engine/fused.py:synthesize_fused_lat)
+    FUSED_FULL_VOCODE_MAX_STEPS = 256
 
     def __init__(self, cfg_path: Optional[str] = None,
                  model_dir: Optional[str] = None, is_fp16: bool = False,
@@ -692,8 +699,38 @@ class IndexTTS:
         n_real = len(rows)
         n_pad = next(bb for bb in self.FUSED_BATCH_BUCKETS if bb >= n_real)
         rows = list(rows) + [np.array([2], np.int32)] * (n_pad - n_real)
+        if sc.max_mel_tokens > self.FUSED_FULL_VOCODE_MAX_STEPS:
+            # fused decode→trim→latent program + window-exact streamed
+            # vocode (vocoder windows sized by the ACTUAL stream length)
+            from index_tts_dubbing_tpu.engine import fused as fused_mod
+            lmax = max(r.size for r in rows)
+            pad_to = next((bb for bb in self.TEXT_BUCKETS if bb >= lmax),
+                          lmax)
+            pre = decode_mod.prepare_prefix_host(self.gpt_cfg, rows,
+                                                 pad_to=pad_to)
+            text = np.full((len(rows), pad_to), self.gpt_cfg.stop_text_token,
+                           np.int32)
+            tlens = np.zeros(len(rows), np.int64)
+            for i, r in enumerate(rows):
+                text[i, : r.size] = r
+                tlens[i] = r.size
+            res = fused_mod.synthesize_fused_lat(
+                self.params["gpt"], self.gpt_cfg, sc, conds,
+                jnp.asarray(pre["ids"]), jnp.asarray(pre["pos"]),
+                jnp.asarray(pre["seg"]), jnp.asarray(pre["cond_idx"]),
+                jnp.asarray(text), jnp.asarray(tlens), self._next_key(),
+                getattr(self, "_length_penalty", 0.0),
+                num_beams=getattr(self, "_num_beams", 1))
+            self.last_fused_res = res
+            self.last_fused_flavor = "fused+stream"
+            lens = np.asarray(res.lens)[:n_real]
+            wav = self.vocoder.stream_device(
+                res.lat, np.asarray(res.lens),
+                order=np.arange(n_real, dtype=np.int64), spk=spk)
+            return wav, lens
         wav, res = self.synthesize_fused(conds, rows, sc, spk)
         self.last_fused_res = res
+        self.last_fused_flavor = "fused"
         lens = np.asarray(res.lens)[:n_real]
         wav = wav[: int(lens.sum()) * self.vocoder.upsample]
         return wav, lens
@@ -975,9 +1012,13 @@ class IndexTTS:
                 path: str = "staged") -> None:
         tag = "[fast] " if fast else ""
         if path == "fused":
-            # the fused route is ONE program: the whole pipeline's device
-            # time lands in gpt_gen (no per-stage split exists)
-            print(f">> {tag}synthesis path: fused (one XLA program)")
+            # the fused route is ONE program (plus the window-exact vocode
+            # stream in the "fused+stream" flavor): the device time lands
+            # in gpt_gen (no per-stage split exists)
+            flavor = getattr(self, "last_fused_flavor", "fused")
+            note = ("one XLA program" if flavor == "fused"
+                    else "decode+trim+latent program + streamed vocode")
+            print(f">> {tag}synthesis path: fused ({note})")
             print(f">> {tag}fused_time: {times.gpt_gen:.2f} s")
         else:
             # fast path: the latent pass is DISPATCHED async and its device

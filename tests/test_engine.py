@@ -256,6 +256,23 @@ def test_infer_fast_routes_through_fused(engine, tmp_path):
     assert not engine._fused_eligible(long_rows)
 
 
+def test_fused_stream_hybrid_matches_full(engine, tmp_path, monkeypatch):
+    """Above FUSED_FULL_VOCODE_MAX_STEPS the fused route switches to the
+    window-exact streamed vocode (fused decode→trim→latent program +
+    stream_device); audio must equal the full one-program route exactly
+    (greedy) — the hybrid exists so loose decode caps don't pay the static
+    worst-case window plan."""
+    p = _prompt_wav(tmp_path)
+    text = "ab ab. cd cd."
+    kw = dict(max_mel_tokens=16, do_sample=False, num_beams=1)
+    sr, wav_full = engine.infer_fast(str(p), text, None, **kw)
+    assert engine.last_path == "fused"
+    monkeypatch.setattr(type(engine), "FUSED_FULL_VOCODE_MAX_STEPS", 8)
+    sr2, wav_stream = engine.infer_fast(str(p), text, None, **kw)
+    assert engine.last_path == "fused"
+    np.testing.assert_array_equal(wav_full, wav_stream)
+
+
 def test_synthesize_fused_matches_staged(engine, rng):
     """The one-program fused synthesis graph (engine/fused.py) must produce
     the same codes and (allclose) waveform as the staged pipeline under the
