@@ -11,6 +11,14 @@ update the jax config directly before any backend is initialised.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Isolate the test compile cache from ~/.cache/jax_comp_cache: that dir can
+# carry CPU executables AOT-compiled on a different machine type (the image
+# bake host), whose unsupported instructions SIGILL/segfault when loaded
+# ("Compile machine features ... vs host machine features" warning; observed
+# as a flaky segfault in the r04 suite). A machine-local dir keeps caching
+# across runs without ever loading a foreign-arch executable.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/jax_test_comp_cache")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,6 +31,17 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop live compiled executables between test modules: the full suite
+    accumulates every module's jitted programs in-process, and the
+    late-alphabet modules (vocoder windows) have been observed to segfault
+    flakily inside XLA:CPU only in that accumulated state (each passes in
+    isolation). Module scope keeps intra-module caching intact."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture

@@ -29,7 +29,9 @@ def test_two_process_distributed_decode():
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    # machine-local cache (same rationale as conftest.py: never load
+    # foreign-arch CPU executables from the image-baked ~/.cache)
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_comp_cache"
     procs = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "multihost_worker.py"),
