@@ -14,8 +14,11 @@ Usage:
   python tools/prime_cache.py --steps 600 --batches 1,4
 """
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
