@@ -55,3 +55,21 @@ def test_speaker_similarity_orders_speakers():
     diff = speaker_similarity(spk_a1, 24000, spk_b, 24000, embed)
     assert -1.0 <= diff <= 1.0 and -1.0 <= same <= 1.0
     assert same > diff
+
+
+def test_beam_gate_flip_stats():
+    """tools/tpu_beam_gate.flip_stats: AR-aware per-step flip accounting
+    (tokens after the first divergence are cascade, not flips)."""
+    import numpy as np
+    from tools.tpu_beam_gate import flip_stats
+    oracle = np.array([[1, 2, 3, 4], [5, 6, 7, 8], [9, 9, 9, 9]])
+    olen = np.array([4, 4, 3])
+    # row 0 identical; row 1 diverges at step 1; row 2 identical but its
+    # length differs (counts as a flip at the common length)
+    other = np.array([[1, 2, 3, 4], [5, 0, 0, 0], [9, 9, 9, 0]])
+    olen2 = np.array([4, 4, 2])
+    flips, steps = flip_stats(oracle, olen, other, olen2)
+    assert flips == 2
+    # row 0 contributes 4 identical steps, row 1 contributes 1 (divergence
+    # at index 1), row 2 contributes min(3,2)=2 identical steps
+    assert steps == 4 + 1 + 2

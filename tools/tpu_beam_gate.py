@@ -35,7 +35,8 @@ decoded identically before divergence). Gates:
 
 Run in the bench session (needs the chip):
   python tools/tpu_beam_gate.py [--steps 64] [--batch 4] [--seeds 4]
-                                [--target-std 8.0] [--max-div 0.01]
+                                [--target-std 8.0] [--max-flip 0.10]
+                                [--max-flip-fp32 0.005]
 """
 import argparse
 import os
@@ -45,6 +46,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def flip_stats(oracle, olen, other, olen2):
+    """(rows diverged, steps decoded identically before divergence).
+
+    The per-step flip rate over a batch is flips / steps: an AR stream's
+    tokens after the first flip are cascade, so only the identical prefix
+    counts as 'steps at risk'."""
+    flips = steps = 0
+    for i in range(oracle.shape[0]):
+        n = min(int(olen[i]), int(olen2[i]))
+        neq = np.nonzero(oracle[i, :n] != other[i, :n])[0]
+        if neq.size or int(olen[i]) != int(olen2[i]):
+            flips += 1
+            steps += int(neq[0]) if neq.size else n
+        else:
+            steps += n
+    return flips, steps
 
 
 def main(argv=None):
@@ -123,19 +142,6 @@ def main(argv=None):
         return jax.tree.map(
             lambda x: x.astype(dt)
             if np.issubdtype(np.asarray(x).dtype, np.floating) else x, tree)
-
-    def flip_stats(oracle, olen, other, olen2):
-        """(rows diverged, steps decoded identically before divergence)."""
-        flips = steps = 0
-        for i in range(oracle.shape[0]):
-            n = min(int(olen[i]), int(olen2[i]))
-            neq = np.nonzero(oracle[i, :n] != other[i, :n])[0]
-            if neq.size or int(olen[i]) != int(olen2[i]):
-                flips += 1
-                steps += int(neq[0]) if neq.size else n
-            else:
-                steps += n
-        return flips, steps
 
     p32_cpu = jax.device_put(cast(params, np.float32), cpu)
     p32_tpu = jax.device_put(cast(params, np.float32))
