@@ -124,36 +124,47 @@ def main():
         all(r.size == n_text for r in check_rows), \
         [r.size for r in check_rows]
 
-    # ---- AOT-compile every program concurrently (bring-up still running).
-    # engine.aot_compile_fused derives the avals from the SAME functions the
+    # ---- AOT-compile every program (bring-up still running concurrently).
+    # engine.aot_lower_fused derives the avals from the SAME functions the
     # runtime calls (eval_shape), so the runtime calls are guaranteed cache
     # hits — hand-built ShapeDtypeStructs cost a silent ~150 s recompile
     # when a dtype drifts (conds/spk are fp32 even under bf16 params).
+    #
+    # LOWER SEQUENTIALLY, COMPILE CONCURRENTLY: lowering on one thread is
+    # deterministic by construction, and the compiles (which release the
+    # GIL) still overlap each other and the session bring-up. The r03
+    # seed-cache silent-miss failure mode was root-caused r04 to the
+    # persistent-cache key retaining residual CALLER-PATH bytes that
+    # survive MLIR strip-debuginfo — which is why snapshot-exact runs THIS
+    # file (--compile-only) rather than a separate priming script.
     cfg = engine.gpt_cfg
     gpt_sds = sds_tree(engine.params["gpt"])
     bv_sds = sds_tree(engine.params["bigvgan"])
     cache_before = cache_entries()
 
-    def compile_fused(nb):
+    lowered = []
+    for nb in (1, 3):
         sc = engine._sampling_config(dict(do_sample=True, num_beams=nb,
                                           max_mel_tokens=steps))
-        t0 = time.perf_counter()
-        engine.aot_compile_fused(batch, n_text, sc, num_beams=nb,
-                                 cond_frames=470)
-        log(f"fused program (num_beams={nb}) compiled "
-            f"{time.perf_counter()-t0:.0f}s")
+        lowered.append((f"fused program (num_beams={nb})",
+                        engine.aot_lower_fused(batch, n_text, sc,
+                                               num_beams=nb,
+                                               cond_frames=470)))
+    mel_sds = jax.ShapeDtypeStruct((1, 470, 100), np.float32)
+    len_sds = jax.ShapeDtypeStruct((1,), np.int32)
+    lowered.append(("cond",
+                    _cond_jit.lower(gpt_sds, cfg, mel_sds, len_sds)))
+    lowered.append(("spk",
+                    voc_mod.speaker_embedding.lower(bv_sds, mel_sds)))
+    log("all programs lowered (sequential)")
 
-    def compile_cond():
+    def compile_one(label, low):
         t0 = time.perf_counter()
-        mel_sds = jax.ShapeDtypeStruct((1, 470, 100), np.float32)
-        len_sds = jax.ShapeDtypeStruct((1,), np.int32)
-        _cond_jit.lower(gpt_sds, cfg, mel_sds, len_sds).compile()
-        voc_mod.speaker_embedding.lower(bv_sds, mel_sds).compile()
-        log(f"cond+spk compiled {time.perf_counter()-t0:.0f}s")
+        low.compile()
+        log(f"{label} compiled {time.perf_counter()-t0:.0f}s")
 
-    threads = [threading.Thread(target=compile_fused, args=(1,)),
-               threading.Thread(target=compile_fused, args=(3,)),
-               threading.Thread(target=compile_cond)]
+    threads = [threading.Thread(target=compile_one, args=pair)
+               for pair in lowered]
     for t in threads:
         t.start()
     for t in threads:
@@ -168,6 +179,17 @@ def main():
         fresh = [e for e in new_entries if e.startswith(prefix)]
         log(f"compile cache {'MISS' if fresh else 'HIT '} {prefix}"
             + (f" ({len(fresh)} new entries)" if fresh else ""))
+
+    if "--compile-only" in sys.argv:
+        # tools/seed_cache.py snapshot-exact runs THIS file to populate the
+        # snapshot: the persistent-cache key retains residual caller-path
+        # bytes that survive MLIR strip-debuginfo in this jax version, so
+        # only programs lowered FROM bench.py itself produce the keys the
+        # driver's bench run will look up (root-caused r04 — compiling the
+        # identical program from tools/prime_cache.py yields a different
+        # key; see docs/PERFORMANCE_NOTES.md).
+        log("compile-only: exiting before device warmup")
+        return
 
     np.asarray(warm_probe)  # session bring-up complete from here
     log("device session up")

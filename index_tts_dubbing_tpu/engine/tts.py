@@ -573,15 +573,37 @@ class IndexTTS:
     # ------------------------------------------------------------------
     def aot_compile_fused(self, batch: int, n_text: int, sc: SamplingConfig,
                           num_beams: int = 1, cond_frames: int = 470):
-        """AOT-compile the fused synthesis program for a workload shape,
-        with EXACTLY the avals the runtime ``synthesize_fused`` call will
-        produce. Dtype/shape drift between a hand-built ShapeDtypeStruct set
-        and the runtime call costs a silent full recompile (the engine's
+        """AOT-compile the fused synthesis program for a workload shape.
+        Returns the compiled executable (also primed into the persistent
+        compile cache). See aot_lower_fused for the aval-derivation rules;
+        callers overlapping several compiles MUST lower sequentially and
+        only thread the .compile() calls (lowering is not
+        deterministic under concurrency — see bench.py)."""
+        return self.aot_lower_fused(batch, n_text, sc, num_beams=num_beams,
+                                    cond_frames=cond_frames).compile()
+
+    def aot_lower_fused(self, batch: int, n_text: int, sc: SamplingConfig,
+                        num_beams: int = 1, cond_frames: int = 470):
+        """Lower (do NOT compile) the fused synthesis program for a workload
+        shape, with EXACTLY the avals the runtime ``synthesize_fused`` call
+        will produce. Dtype/shape drift between a hand-built ShapeDtypeStruct
+        set and the runtime call costs a silent full recompile (the engine's
         conds/spk come out fp32 even under bf16 params because norms lift to
         fp32), so the conds/spk avals are derived with jax.eval_shape from
         the same jitted functions the runtime uses, and the prefix arrays
-        from prepare_prefix_host itself. Returns the compiled executable
-        (also primed into the persistent compile cache)."""
+        from prepare_prefix_host itself.
+
+        Lowering is kept separate from compiling so callers can lower
+        deterministically on one thread and overlap only the .compile()
+        calls (which release the GIL). NOTE on the persistent compile
+        cache: the cache key retains residual CALLER-PATH bytes that
+        survive MLIR strip-debuginfo in this jax version — the same
+        program lowered from two different scripts (or the same script
+        after line-number shifts) gets DIFFERENT keys (root-caused r04;
+        this was r03's 'seed cache never hits' failure mode). Cache
+        snapshots must therefore be produced by the same file that will
+        replay them (tools/seed_cache.py snapshot-exact runs bench.py
+        --compile-only)."""
         from index_tts_dubbing_tpu.engine import fused as fused_mod
         from index_tts_dubbing_tpu.engine import vocoder as voc_mod
         cfg = self.gpt_cfg
@@ -620,7 +642,7 @@ class IndexTTS:
             num_windows=num_windows, window=voc.window, halo=voc.halo,
             use_pallas=voc.use_pallas if cmajor else False,
             fuse_resblocks=voc.fuse_resblocks if cmajor else False,
-            edge_exact=voc.edge_exact, num_beams=num_beams).compile()
+            edge_exact=voc.edge_exact, num_beams=num_beams)
 
     def synthesize_fused(self, conds, token_rows: List[np.ndarray],
                          sc: SamplingConfig, spk):

@@ -47,9 +47,13 @@ def main(argv=None):
     ap.add_argument("--batches", default="1,4")
     ap.add_argument("--fp32", action="store_true")
     ap.add_argument("--bench-set", action="store_true",
-                    help="compile EXACTLY the bench.py program set (the two "
-                         "fused programs + cond/spk at the bench shapes) — "
-                         "used by tools/seed_cache.py snapshot-exact")
+                    help="compile the bench.py program set (the two fused "
+                         "programs + cond/spk at the bench shapes). NOTE: "
+                         "snapshot-exact uses `bench.py --compile-only` "
+                         "instead — the persistent-cache key retains "
+                         "caller-path bytes, so entries compiled from this "
+                         "script do NOT match bench.py's keys (they still "
+                         "warm any server-side compile cache)")
     args = ap.parse_args(argv)
 
     engine = IndexTTS(config=EngineConfig(), is_fp16=not args.fp32,

@@ -95,19 +95,25 @@ def snapshot(patterns=BENCH_PATTERNS, src_dir: Path | None = None) -> int:
 
 def snapshot_exact() -> int:
     """Rebuild the snapshot from scratch with EXACTLY the bench program set
-    at the CURRENT code revision: compile the bench programs into a fresh
-    temporary cache dir (a subprocess running prime_cache --bench-set), then
-    replace .jax_seed_cache with that dir's contents. This prevents both
-    r03 failure modes: stale keys (snapshot taken before the final program
-    revision) and bloat (superseded entries accumulating)."""
+    at the CURRENT code revision: run ``bench.py --compile-only`` against a
+    fresh temporary cache dir, then replace .jax_seed_cache with that dir's
+    contents. This prevents all three discovered failure modes:
+    - stale keys: snapshot taken before the final program revision (r03);
+    - caller-path keys: the persistent-cache key retains residual
+      caller-path bytes that survive MLIR strip-debuginfo in this jax
+      version, so the snapshot MUST be produced by bench.py itself — the
+      same program compiled from another script gets a different key
+      (root-caused r04); re-run this after ANY edit to bench.py or the
+      traced library code;
+    - bloat: superseded entries accumulating (the dir is rebuilt)."""
     import subprocess
     import tempfile
     tmp = Path(tempfile.mkdtemp(prefix="jax_seed_exact_"))
     env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=str(tmp))
     print(f"compiling bench program set into {tmp} ...")
     subprocess.run(
-        [sys.executable, str(REPO / "tools" / "prime_cache.py"),
-         "--bench-set"], env=env, cwd=str(REPO), check=True)
+        [sys.executable, str(REPO / "bench.py"), "--compile-only"],
+        env=env, cwd=str(REPO), check=True)
     # wipe the whole seed dir (bench patterns AND anything superseded)
     if SEED_DIR.is_dir():
         for old in SEED_DIR.iterdir():
