@@ -110,14 +110,16 @@ def snapshot_exact() -> int:
     import tempfile
     tmp = Path(tempfile.mkdtemp(prefix="jax_seed_exact_"))
     env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=str(tmp))
+    # wipe the seed dir FIRST: bench.py's own seed_compile_cache() would
+    # otherwise copy the superseded snapshot into the fresh tmp dir and the
+    # stale entries would ride along into the new snapshot
+    if SEED_DIR.is_dir():
+        for old in SEED_DIR.iterdir():
+            old.unlink()
     print(f"compiling bench program set into {tmp} ...")
     subprocess.run(
         [sys.executable, str(REPO / "bench.py"), "--compile-only"],
         env=env, cwd=str(REPO), check=True)
-    # wipe the whole seed dir (bench patterns AND anything superseded)
-    if SEED_DIR.is_dir():
-        for old in SEED_DIR.iterdir():
-            old.unlink()
     n = snapshot(src_dir=tmp)
     shutil.rmtree(tmp, ignore_errors=True)
     return n
