@@ -19,6 +19,16 @@ def setup_jax(cache_dir: str | None = None) -> None:
     _DONE = True
     import jax
 
+    # The default "xla_gpu_per_fusion_autotune_cache_dir" feature writes the
+    # CACHE DIR PATH into debug_options — which is hashed into the
+    # compilation-cache key, so entries compiled against one cache dir can
+    # never hit from another (this broke snapshot-from-a-temp-dir seeding,
+    # root-caused r04). It is a GPU-only autotune feature, irrelevant on
+    # TPU — disable it so keys are cache-dir-independent. This must run
+    # even when the cache dir was already configured via the env var (the
+    # early return below).
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "")
+
     try:
         current = jax.config.jax_compilation_cache_dir
     except AttributeError:
@@ -31,10 +41,3 @@ def setup_jax(cache_dir: str | None = None) -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache even small/fast-compiling programs
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    # The default "xla_gpu_per_fusion_autotune_cache_dir" feature writes the
-    # CACHE DIR PATH into debug_options — which is hashed into the
-    # compilation-cache key, so entries compiled against one cache dir can
-    # never hit from another (this broke snapshot-from-a-temp-dir seeding,
-    # root-caused r04). It is a GPU-only autotune feature, irrelevant on
-    # TPU — disable it so keys are cache-dir-independent.
-    jax.config.update("jax_persistent_cache_enable_xla_caches", "")
