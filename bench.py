@@ -52,7 +52,12 @@ def log(msg):
 
 
 def cache_entries():
-    d = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    # read the ACTIVE dir from jax config (not a re-derived default): if the
+    # engine's configured dir ever drifts, diffing the wrong dir would log
+    # every program as 'HIT' — silently reintroducing the stale-snapshot
+    # failure mode this logging exists to catch (r04 advisor)
+    import jax
+    d = jax.config.jax_compilation_cache_dir
     d = Path(d) if d else Path.home() / ".cache" / "jax_comp_cache"
     return {p.name for p in d.iterdir()} if d.is_dir() else set()
 
@@ -70,14 +75,19 @@ def main():
     import jax.numpy as jnp
 
     # seed the persistent compile cache from the repo-local snapshot BEFORE
-    # any compile happens (no-op if absent or already seeded)
-    try:
-        from tools.seed_cache import seed_compile_cache
-        n_seeded = seed_compile_cache()
-        if n_seeded:
-            log(f"seeded compile cache with {n_seeded} entries")
-    except Exception as e:  # bench must run even if seeding breaks
-        log(f"cache seeding skipped: {type(e).__name__}: {e}")
+    # any compile happens (no-op if absent or already seeded).
+    # BENCH_NO_SEED_CACHE: set by tools/seed_cache.py snapshot-exact so its
+    # fresh-dir compile run doesn't inherit the superseded snapshot.
+    if os.environ.get("BENCH_NO_SEED_CACHE"):
+        log("cache seeding disabled (BENCH_NO_SEED_CACHE)")
+    else:
+        try:
+            from tools.seed_cache import seed_compile_cache
+            n_seeded = seed_compile_cache()
+            if n_seeded:
+                log(f"seeded compile cache with {n_seeded} entries")
+        except Exception as e:  # bench must run even if seeding breaks
+            log(f"cache seeding skipped: {type(e).__name__}: {e}")
 
     # kick the server session bring-up NOW (async dispatch, not synced):
     # it proceeds concurrently with param init and the AOT compiles below
@@ -124,6 +134,27 @@ def main():
         all(r.size == n_text for r in check_rows), \
         [r.size for r in check_rows]
 
+    # ---- mixed-length workload (r04 verdict #1): a realistic long text
+    # whose sentences span FOUR text buckets (16/32/48/64) — the reference's
+    # infer_fast exists precisely for such texts (its bucket_sentences,
+    # infer.py:188-243). Since r05 the fused route serves these by padding
+    # all rows to the batch's max TEXT bucket, with the batch padded to a
+    # FUSED_BATCH_BUCKET by DEAD rows (live mask: they stop at decode step 0
+    # and add no stream frames/windows). Sizes are chosen so every adjacent
+    # pair sums > max_tokens_per_sentence (=64) → the splitter never merges.
+    mixed_sizes = [60, 40, 60, 28, 60, 40, 60, 28, 60, 40, 60, 14, 60, 40]
+    mixed_max = 64
+    text_mixed = " ".join(
+        "".join(rng.choice(list(letters), size=sz - 1)) + "."
+        for sz in mixed_sizes)
+    mixed_rows = [np.asarray(engine.tokenizer.convert_tokens_to_ids(s))
+                  for s in engine.tokenizer.split_sentences(
+                      engine.tokenizer.tokenize(text_mixed), mixed_max)]
+    assert [r.size for r in mixed_rows] == mixed_sizes, \
+        [r.size for r in mixed_rows]
+    n_live_mixed = len(mixed_sizes)               # 14 → batch bucket 16
+    mixed_batch = 16
+
     # ---- AOT-compile every program (bring-up still running concurrently).
     # engine.aot_lower_fused derives the avals from the SAME functions the
     # runtime calls (eval_shape), so the runtime calls are guaranteed cache
@@ -150,6 +181,11 @@ def main():
                         engine.aot_lower_fused(batch, n_text, sc,
                                                num_beams=nb,
                                                cond_frames=470)))
+        lowered.append((f"fused mixed program (num_beams={nb})",
+                        engine.aot_lower_fused(mixed_batch, mixed_max, sc,
+                                               num_beams=nb,
+                                               cond_frames=470,
+                                               n_live=n_live_mixed)))
     mel_sds = jax.ShapeDtypeStruct((1, 470, 100), np.float32)
     len_sds = jax.ShapeDtypeStruct((1,), np.int32)
     lowered.append(("cond",
@@ -198,13 +234,13 @@ def main():
     with _jax.default_device(_jax.devices("cpu")[0]):
         key0 = _jax.random.PRNGKey(0)
 
-    def run_once(num_beams):
+    def run_once(num_beams, which_text=text, max_sent=n_text):
         # identical sampling keys per run → identical codes → the warm run
         # reuses every compiled shape from the warmup run
         engine._rng = key0
         t0 = time.perf_counter()
-        _, wav = engine.infer_fast("<direct>", text, None,
-                                   max_text_tokens_per_sentence=n_text,
+        _, wav = engine.infer_fast("<direct>", which_text, None,
+                                   max_text_tokens_per_sentence=max_sent,
                                    do_sample=True, num_beams=num_beams,
                                    max_mel_tokens=steps)
         dt = time.perf_counter() - t0
@@ -212,20 +248,34 @@ def main():
         tokens = int(np.asarray(engine.last_fused_res.gen_lengths).sum())
         return dt, wav.shape[0], tokens
 
+    def run_mixed(num_beams):
+        return run_once(num_beams, which_text=text_mixed,
+                        max_sent=mixed_max)
+
     log("warmup run (num_beams=1)...")
     run_once(1)
     log("warmup run (num_beams=3)...")
     run_once(3)
+    log("warmup run (mixed, num_beams=1)...")
+    run_mixed(1)
+    log("warmup run (mixed, num_beams=3)...")
+    run_mixed(3)
     log("timed runs...")
     t_fast, n_fast, tok_fast = run_once(1)
     t_beam, n_beam, tok_beam = run_once(3)
+    t_mfast, n_mfast, _ = run_mixed(1)
+    t_mbeam, n_mbeam, tok_mbeam = run_mixed(3)
     log(f"fast {t_fast:.2f}s/{n_fast/sr:.1f}s-audio  "
-        f"beam3 {t_beam:.2f}s/{n_beam/sr:.1f}s-audio")
+        f"beam3 {t_beam:.2f}s/{n_beam/sr:.1f}s-audio  "
+        f"mixed-fast {t_mfast:.2f}s/{n_mfast/sr:.1f}s  "
+        f"mixed-beam3 {t_mbeam:.2f}s/{n_mbeam/sr:.1f}s")
 
     audio_beam = n_beam / sr
     audio_fast = n_fast / sr
     rtf_beam = t_beam / audio_beam
     rtf_fast = t_fast / audio_fast
+    rtf_mbeam = t_mbeam / (n_mbeam / sr)
+    rtf_mfast = t_mfast / (n_mfast / sr)
 
     # headline = the engine/reference DEFAULT decode mode (num_beams=3)
     print(json.dumps({
@@ -237,13 +287,19 @@ def main():
             "mode": "beam_sample x3 (reference default), public infer_fast"
                     " -> fused graph",
             "rtf_sampling": round(rtf_fast, 5),
+            "rtf_mixed_buckets": round(rtf_mbeam, 5),
+            "rtf_mixed_buckets_sampling": round(rtf_mfast, 5),
+            "mixed_workload": "14 sentences spanning text buckets"
+                              " 16/32/48/64, batch-padded to 16 w/ live"
+                              " mask, beam x3 / sampling",
+            "tokens_generated_mixed": tok_mbeam,
             "tokens_generated": tok_beam,
             "tokens_generated_sampling": tok_fast,
             "tokens_per_s_e2e_sampling": round(tok_fast / t_fast, 1),
             "audio_seconds_per_s_per_chip": round(audio_beam / t_beam, 2),
             "audio_seconds_per_s_sampling": round(audio_fast / t_fast, 2),
-            "warmup_wall_s": round(time.perf_counter() - T0
-                                   - t_fast - t_beam, 1),
+            "warmup_wall_s": round(time.perf_counter() - T0 - t_fast
+                                   - t_beam - t_mfast - t_mbeam, 1),
             "dtype": "bf16" if fp16 else "fp32",
             "backend": jax.default_backend(),
         },

@@ -32,7 +32,7 @@ Reference role: replaces the infer_fast orchestration loop
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +71,7 @@ def synthesize_fused_lat(gpt_params: Dict[str, Any], gpt_cfg: GPTConfig,
                          seg: jnp.ndarray, cond_idx: jnp.ndarray,
                          text_ids: jnp.ndarray, text_lens: jnp.ndarray,
                          rng: jax.Array, length_penalty: float = 0.0,
+                         live: Optional[jnp.ndarray] = None,
                          *, num_beams: int = 1) -> FusedLatResult:
     """Fused decode → trim → latent as ONE program, WITHOUT the vocoder.
 
@@ -88,9 +89,10 @@ def synthesize_fused_lat(gpt_params: Dict[str, Any], gpt_cfg: GPTConfig,
     if num_beams > 1:
         res = decode_mod._beam_decode(gpt_params, gpt_cfg, sc, emb, keep,
                                       rng, num_beams, length_penalty,
-                                      stochastic=sc.do_sample)
+                                      stochastic=sc.do_sample, live=live)
     else:
-        res = decode_mod.generate(gpt_params, gpt_cfg, sc, emb, keep, rng)
+        res = decode_mod.generate(gpt_params, gpt_cfg, sc, emb, keep, rng,
+                                  live=live)
     from index_tts_dubbing_tpu.engine.tts import remove_long_silence_device
     codes, lens = remove_long_silence_device(res.codes,
                                              gpt_cfg.stop_mel_token)
@@ -99,7 +101,7 @@ def synthesize_fused_lat(gpt_params: Dict[str, Any], gpt_cfg: GPTConfig,
         cnds = jnp.broadcast_to(cnds, (b,) + cnds.shape[1:])
     lat = gpt_model.forward_latent_bucketed(
         gpt_params, gpt_cfg, cnds, text_ids, text_lens, codes,
-        lens.astype(jnp.int64))
+        lens.astype(jnp.int32))
     return FusedLatResult(res.codes, res.lengths, lens, lat)
 
 
@@ -115,6 +117,7 @@ def synthesize_fused(gpt_params: Dict[str, Any], bv_params: Dict[str, Any],
                      text_ids: jnp.ndarray, text_lens: jnp.ndarray,
                      spk: jnp.ndarray, rng: jax.Array, packed,
                      length_penalty: float = 0.0,
+                     live: Optional[jnp.ndarray] = None,
                      *, num_windows: int, window: int, halo: int,
                      use_pallas: bool, fuse_resblocks: bool,
                      edge_exact: bool, num_beams: int = 1) -> FusedResult:
@@ -122,7 +125,12 @@ def synthesize_fused(gpt_params: Dict[str, Any], bv_params: Dict[str, Any],
     artifacts: prefix arrays from prepare_prefix_host, unframed text rows for
     the latent pass, the precomputed speaker embedding, and the packed fused
     resblock weights. num_beams > 1 decodes with beam sampling / beam search
-    per sc.do_sample (the reference's num_beams=3 quality default)."""
+    per sc.do_sample (the reference's num_beams=3 quality default).
+    ``live`` (B,) bool marks batch-padding rows dead: they stop at decode
+    step 0, contribute 0 frames to the stream, and never gate the loop —
+    so the engine's FUSED_BATCH_BUCKET padding costs no decode steps and
+    no stream frames (the caller can also shrink num_windows to the live
+    row count's worth of windows)."""
     b = ids.shape[0]
     steps = sc.max_mel_tokens
     up = int(np.prod(bv_cfg.upsample_rates))
@@ -134,9 +142,10 @@ def synthesize_fused(gpt_params: Dict[str, Any], bv_params: Dict[str, Any],
     if num_beams > 1:
         res = decode_mod._beam_decode(gpt_params, gpt_cfg, sc, emb, keep,
                                       rng, num_beams, length_penalty,
-                                      stochastic=sc.do_sample)
+                                      stochastic=sc.do_sample, live=live)
     else:
-        res = decode_mod.generate(gpt_params, gpt_cfg, sc, emb, keep, rng)
+        res = decode_mod.generate(gpt_params, gpt_cfg, sc, emb, keep, rng,
+                                  live=live)
 
     # ---- 2. silence trim on device (== host remove_long_silence; tested)
     from index_tts_dubbing_tpu.engine.tts import remove_long_silence_device
@@ -148,7 +157,7 @@ def synthesize_fused(gpt_params: Dict[str, Any], bv_params: Dict[str, Any],
         cnds = jnp.broadcast_to(cnds, (b,) + cnds.shape[1:])
     lat = gpt_model.forward_latent_bucketed(
         gpt_params, gpt_cfg, cnds, text_ids, text_lens, codes,
-        lens.astype(jnp.int64))
+        lens.astype(jnp.int32))
 
     # ---- 4. window plan over the virtual stream concat(lat[i, :lens[i]])
     mb = steps

@@ -572,7 +572,8 @@ class IndexTTS:
 
     # ------------------------------------------------------------------
     def aot_compile_fused(self, batch: int, n_text: int, sc: SamplingConfig,
-                          num_beams: int = 1, cond_frames: int = 470):
+                          num_beams: int = 1, cond_frames: int = 470,
+                          n_live: Optional[int] = None):
         """AOT-compile the fused synthesis program for a workload shape.
         Returns the compiled executable (also primed into the persistent
         compile cache). See aot_lower_fused for the aval-derivation rules;
@@ -580,10 +581,12 @@ class IndexTTS:
         only thread the .compile() calls (lowering is not
         deterministic under concurrency — see bench.py)."""
         return self.aot_lower_fused(batch, n_text, sc, num_beams=num_beams,
-                                    cond_frames=cond_frames).compile()
+                                    cond_frames=cond_frames,
+                                    n_live=n_live).compile()
 
     def aot_lower_fused(self, batch: int, n_text: int, sc: SamplingConfig,
-                        num_beams: int = 1, cond_frames: int = 470):
+                        num_beams: int = 1, cond_frames: int = 470,
+                        n_live: Optional[int] = None):
         """Lower (do NOT compile) the fused synthesis program for a workload
         shape, with EXACTLY the avals the runtime ``synthesize_fused`` call
         will produce. Dtype/shape drift between a hand-built ShapeDtypeStruct
@@ -635,22 +638,34 @@ class IndexTTS:
         cmajor = voc.layout == "cmajor"
         packed = voc._packed_weights() if cmajor else None
         packed_sds = jax.tree.map(sds, packed) if packed is not None else None
-        num_windows = -(-batch * sc.max_mel_tokens // voc.window)
+        # window count + live mask mirror _synthesize_fused_public exactly
+        # (n_live = real rows before batch-bucket padding; default full)
+        if n_live is None:
+            n_live = batch
+        nw_pad = -(-batch * sc.max_mel_tokens // voc.window)
+        nw_real = -(-n_live * sc.max_mel_tokens // voc.window)
+        num_windows = min(nw_pad, _round_up(nw_real, 8))
+        live_sds = jax.ShapeDtypeStruct((batch,), np.bool_)
         return fused_mod.synthesize_fused.lower(
             gpt_sds, bv_sds, cfg, self.bigvgan_cfg, sc, conds_sds, *pre_sds,
-            text_sds, tlen_sds, spk_sds, key_sds, packed_sds, 0.0,
+            text_sds, tlen_sds, spk_sds, key_sds, packed_sds, 0.0, live_sds,
             num_windows=num_windows, window=voc.window, halo=voc.halo,
             use_pallas=voc.use_pallas if cmajor else False,
             fuse_resblocks=voc.fuse_resblocks if cmajor else False,
             edge_exact=voc.edge_exact, num_beams=num_beams)
 
     def synthesize_fused(self, conds, token_rows: List[np.ndarray],
-                         sc: SamplingConfig, spk):
+                         sc: SamplingConfig, spk, live=None,
+                         num_windows: Optional[int] = None):
         """One-program batch synthesis (engine/fused.py): the whole
         decode→trim→latent→vocode pipeline as a single XLA program, honoring
         the engine's num_beams (beam sampling/search when > 1). Rows are
-        padded to one TEXT bucket. Returns (wav float32 (t·1024,),
-        FusedResult) — wav already cropped to the real stream length."""
+        padded to one TEXT bucket. ``live`` (n,) bool marks batch-padding
+        rows dead (stop at step 0, zero stream frames); ``num_windows``
+        overrides the static vocode window count (callers that know the live
+        row count can shrink it below ceil(n·steps/window)). Returns
+        (wav float32 (t·1024,), FusedResult) — wav already cropped to the
+        real stream length."""
         from index_tts_dubbing_tpu.engine import fused as fused_mod
         n = len(token_rows)
         lmax = max(r.size for r in token_rows)
@@ -665,7 +680,8 @@ class IndexTTS:
         voc = self.vocoder
         cmajor = voc.layout == "cmajor"
         steps = sc.max_mel_tokens
-        num_windows = -(-n * steps // voc.window)
+        if num_windows is None:
+            num_windows = -(-n * steps // voc.window)
         res = fused_mod.synthesize_fused(
             self.params["gpt"], self.params["bigvgan"], self.gpt_cfg,
             self.bigvgan_cfg, sc, conds,
@@ -674,6 +690,7 @@ class IndexTTS:
             jnp.asarray(text), jnp.asarray(tlens), spk, self._next_key(),
             voc._packed_weights() if cmajor else None,
             getattr(self, "_length_penalty", 0.0),
+            live if live is None else jnp.asarray(live),
             num_windows=num_windows, window=voc.window, halo=voc.halo,
             use_pallas=voc.use_pallas if cmajor else False,
             fuse_resblocks=voc.fuse_resblocks if cmajor else False,
@@ -697,30 +714,39 @@ class IndexTTS:
     # ------------------------------------------------------------------
     def _fused_eligible(self, rows: List[np.ndarray]) -> bool:
         """True when a workload can ride the fused one-program path
-        (engine/fused.py): single-chip, non-empty, batch within the largest
-        batch bucket, and every row in the SAME text bucket (one bucket per
-        fused call by design — heterogeneous buckets fall back to the
-        staged bucketed path, which exists precisely for them)."""
+        (engine/fused.py): single-chip, non-empty rows, batch within the
+        largest batch bucket, every row within the largest text bucket.
+        Mixed-length rows are served by padding ALL rows to the batch's max
+        TEXT bucket — numerically exact (extra left-padding is
+        attention-masked; the reference's padding-invariance contract,
+        prepare_prefix_host) and measured cheap: the decode step cost is
+        gen-region/weight-bound, the prefix width only adds prefill +
+        prefix-attention (see docs/PERFORMANCE_NOTES.md r05 mixed-bucket
+        numbers). This closes r04's gap where real multi-sentence texts
+        (whose sentences span buckets, the fast path's raison d'être —
+        infer.py:188-243) silently fell back to the staged path."""
         if self.mesh is not None or not rows:
             return False
         if len(rows) > self.FUSED_BATCH_BUCKETS[-1]:
             return False
-        if any(r.size == 0 or r.size > self.TEXT_BUCKETS[-1] for r in rows):
-            return False
-        buckets = {next(b for b in self.TEXT_BUCKETS if b >= r.size)
-                   for r in rows}
-        return len(buckets) == 1
+        limit = min(self.TEXT_BUCKETS[-1], self.gpt_cfg.max_text_tokens)
+        return not any(r.size == 0 or r.size > limit for r in rows)
 
     def _synthesize_fused_public(self, conds, rows: List[np.ndarray],
                                  sc: SamplingConfig, spk
                                  ) -> Tuple[np.ndarray, np.ndarray]:
         """Fused-path execution for the public surfaces: pads the batch to a
-        FUSED_BATCH_BUCKET with short dummy rows (cropped from the stream),
-        runs synthesize_fused, and returns (wav fp32 scaled like the staged
+        FUSED_BATCH_BUCKET with dummy rows marked DEAD via the ``live``
+        mask (they stop at decode step 0 and contribute zero stream frames,
+        so padding costs neither decode steps nor vocode windows), runs
+        synthesize_fused, and returns (wav fp32 scaled like the staged
         path pre-clip, per-row latent frame lens for the REAL rows)."""
         n_real = len(rows)
         n_pad = next(bb for bb in self.FUSED_BATCH_BUCKETS if bb >= n_real)
         rows = list(rows) + [np.array([2], np.int32)] * (n_pad - n_real)
+        # ALWAYS pass the mask (all-True on exact fill): a None-vs-array
+        # split would double the compile-key space per shape
+        live = np.arange(n_pad) < n_real
         if sc.max_mel_tokens > self.FUSED_FULL_VOCODE_MAX_STEPS:
             # fused decode→trim→latent program + window-exact streamed
             # vocode (vocoder windows sized by the ACTUAL stream length)
@@ -741,7 +767,7 @@ class IndexTTS:
                 jnp.asarray(pre["ids"]), jnp.asarray(pre["pos"]),
                 jnp.asarray(pre["seg"]), jnp.asarray(pre["cond_idx"]),
                 jnp.asarray(text), jnp.asarray(tlens), self._next_key(),
-                getattr(self, "_length_penalty", 0.0),
+                getattr(self, "_length_penalty", 0.0), jnp.asarray(live),
                 num_beams=getattr(self, "_num_beams", 1))
             self.last_fused_res = res
             self.last_fused_flavor = "fused+stream"
@@ -750,7 +776,16 @@ class IndexTTS:
                 res.lat, np.asarray(res.lens),
                 order=np.arange(n_real, dtype=np.int64), spk=spk)
             return wav, lens
-        wav, res = self.synthesize_fused(conds, rows, sc, spk)
+        # static window count sized by the LIVE rows (dead pad rows emit 0
+        # stream frames), rounded up to a multiple of 8 to bound the
+        # compile-key space, capped at the padded batch's worst case
+        steps = sc.max_mel_tokens
+        voc = self.vocoder
+        nw_pad = -(-n_pad * steps // voc.window)
+        nw_real = -(-n_real * steps // voc.window)
+        num_windows = min(nw_pad, _round_up(nw_real, 8))
+        wav, res = self.synthesize_fused(conds, rows, sc, spk, live=live,
+                                         num_windows=num_windows)
         self.last_fused_res = res
         self.last_fused_flavor = "fused"
         lens = np.asarray(res.lens)[:n_real]

@@ -8,17 +8,23 @@ Note: this environment's sitecustomize prepends the experimental 'axon' TPU
 platform to jax_platforms; an env var alone doesn't override it, so we also
 update the jax config directly before any backend is initialised.
 """
+import getpass
 import os
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+
 # Isolate the test compile cache from ~/.cache/jax_comp_cache: that dir can
 # carry CPU executables AOT-compiled on a different machine type (the image
 # bake host), whose unsupported instructions SIGILL/segfault when loaded
 # ("Compile machine features ... vs host machine features" warning; observed
-# as a flaky segfault in the r04 suite). A machine-local dir keeps caching
-# across runs without ever loading a foreign-arch executable.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/jax_test_comp_cache")
+# as a flaky segfault in the r04 suite). A machine-local, PER-USER dir keeps
+# caching across runs without loading a foreign-arch executable and without
+# permission failures / cross-user poisoning on shared machines (r04
+# advisor). test_multihost.py imports this constant for its subprocesses.
+TEST_COMPILE_CACHE_DIR = os.path.join(
+    tempfile.gettempdir(), f"jax_test_comp_cache_{getpass.getuser()}")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", TEST_COMPILE_CACHE_DIR)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -250,10 +250,53 @@ def test_infer_fast_routes_through_fused(engine, tmp_path):
     wav_direct = np.clip(wav_direct * 32767.0, -32767.0,
                          32767.0).astype(np.int16)
     np.testing.assert_array_equal(wav[:, 0], wav_direct)
-    # heterogeneous text buckets fall back to the staged path
-    long_rows = [np.arange(2, 4, dtype=np.int32),
-                 np.arange(2, 40, dtype=np.int32)]
-    assert not engine._fused_eligible(long_rows)
+    # heterogeneous text buckets are ELIGIBLE since r05 (served by padding
+    # all rows to the batch's max bucket — padding-invariance contract);
+    # rows beyond the model's text budget still fall back
+    mixed_rows = [np.arange(2, 4, dtype=np.int32),
+                  np.arange(2, 40, dtype=np.int32)]
+    assert engine._fused_eligible(mixed_rows)
+    too_long = [np.arange(2, 2 + engine.gpt_cfg.max_text_tokens + 1,
+                          dtype=np.int32)]
+    assert not engine._fused_eligible(too_long)
+
+
+def test_fused_mixed_buckets_match_uniform(engine, tmp_path):
+    """Mixed-length rows through the fused public path (padded to the max
+    TEXT bucket, batch padded to a FUSED_BATCH_BUCKET with DEAD rows via the
+    live mask) must produce exactly the audio of the same rows run WITHOUT
+    any padding: left-pad is attention-masked, dead rows stop at step 0 and
+    contribute zero stream frames (greedy decode is batch-size invariant)."""
+    import jax.numpy as jnp
+    from index_tts_dubbing_tpu.engine.decode import SamplingConfig
+    p = _prompt_wav(tmp_path)
+    cond_mel = engine._cond_mel(str(p))
+    conds = engine._conditioning(cond_mel)
+    spk = engine.vocoder.speaker_embedding(
+        jnp.asarray(cond_mel.transpose(0, 2, 1)))
+    sc = SamplingConfig(do_sample=False, max_mel_tokens=16)
+    engine._num_beams = 1
+    # 3 rows spanning text buckets 16 and 32 → batch bucket pads 3 → 4
+    rows = [np.arange(2, 12, dtype=np.int32),
+            np.arange(2, 30, dtype=np.int32),
+            np.arange(2, 8, dtype=np.int32)]
+    assert engine._fused_eligible(rows)
+    wav_pub, lens_pub = engine._synthesize_fused_public(conds, rows, sc, spk)
+    assert lens_pub.size == 3
+    # reference: the same rows as an exact batch (no pad rows), all rows
+    # already padded to the common text bucket by synthesize_fused itself
+    wav_ref, res = engine.synthesize_fused(conds, rows, sc, spk)
+    lens_ref = np.asarray(res.lens)
+    np.testing.assert_array_equal(lens_pub, lens_ref)
+    n = int(lens_ref.sum()) * engine.vocoder.upsample
+    np.testing.assert_allclose(wav_pub[:n], wav_ref[:n], atol=1e-5)
+    # beam search (deterministic) over the same mixed batch also routes and
+    # survives the dead-row freeze
+    engine._num_beams = 2
+    wav_beam, lens_beam = engine._synthesize_fused_public(conds, rows, sc,
+                                                          spk)
+    assert lens_beam.size == 3 and wav_beam.size > 0
+    engine._num_beams = 1
 
 
 def test_fused_stream_hybrid_matches_full(engine, tmp_path, monkeypatch):

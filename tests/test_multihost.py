@@ -29,9 +29,10 @@ def test_two_process_distributed_decode():
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    # machine-local cache (same rationale as conftest.py: never load
-    # foreign-arch CPU executables from the image-baked ~/.cache)
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_test_comp_cache"
+    # machine-local per-user cache (same rationale as conftest.py: never
+    # load foreign-arch CPU executables from the image-baked ~/.cache)
+    from conftest import TEST_COMPILE_CACHE_DIR
+    env["JAX_COMPILATION_CACHE_DIR"] = TEST_COMPILE_CACHE_DIR
     procs = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "multihost_worker.py"),

@@ -109,17 +109,22 @@ def snapshot_exact() -> int:
     import subprocess
     import tempfile
     tmp = Path(tempfile.mkdtemp(prefix="jax_seed_exact_"))
-    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=str(tmp))
-    # wipe the seed dir FIRST: bench.py's own seed_compile_cache() would
-    # otherwise copy the superseded snapshot into the fresh tmp dir and the
-    # stale entries would ride along into the new snapshot
-    if SEED_DIR.is_dir():
-        for old in SEED_DIR.iterdir():
-            old.unlink()
+    # BENCH_NO_SEED_CACHE stops bench.py's own seed_compile_cache() from
+    # copying the superseded snapshot into the fresh tmp dir (stale entries
+    # would ride along into the new snapshot). The committed SEED_DIR is
+    # only touched AFTER the compile run succeeds — a failed/interrupted
+    # compile leaves the working tree's snapshot intact (r04 advisor).
+    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR=str(tmp),
+               BENCH_NO_SEED_CACHE="1")
     print(f"compiling bench program set into {tmp} ...")
     subprocess.run(
         [sys.executable, str(REPO / "bench.py"), "--compile-only"],
         env=env, cwd=str(REPO), check=True)
+    # replace wholesale: entries whose prefixes match are refreshed by
+    # snapshot(); anything else in the dir is superseded bloat
+    if SEED_DIR.is_dir():
+        for old in SEED_DIR.iterdir():
+            old.unlink()
     n = snapshot(src_dir=tmp)
     shutil.rmtree(tmp, ignore_errors=True)
     return n
