@@ -278,12 +278,10 @@ def queue_first_tokens(params: Params, cfg: GPTConfig, sc: SamplingConfig,
     return tok0, seen
 
 
-@partial(jax.jit, static_argnames=("cfg", "sc"),
-         donate_argnames=("state",))
-def cb_run(params: Params, cfg: GPTConfig, sc: SamplingConfig,
-           state: CBState, queue: CBQueue, slot_req: jnp.ndarray,
-           next_req: jnp.ndarray
-           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _cb_run_impl(params: Params, cfg: GPTConfig, sc: SamplingConfig,
+                 state: CBState, queue: CBQueue, slot_req: jnp.ndarray,
+                 next_req: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the WHOLE workload in one while_loop: decode all B slots each
     step; finished rows flush their tokens to the per-request result buffer
     and refill from the device queue inside the loop. Returns
@@ -367,6 +365,17 @@ def cb_run(params: Params, cfg: GPTConfig, sc: SamplingConfig,
     carry = flush_and_refill(state, slot_req, next_req, out_tokens, out_ngen)
     carry = jax.lax.while_loop(cond_fn, body_fn, carry)
     return carry[3], carry[4]
+
+
+cb_run = partial(jax.jit, static_argnames=("cfg", "sc"),
+                 donate_argnames=("state",))(_cb_run_impl)
+# Under a mesh the host-built state buffers (default placement) never match
+# the GSPMD-chosen output shardings, so donation is unusable and XLA warns
+# "Some donated buffers were not usable" on every trace — the mesh path
+# runs the identical program WITHOUT donation instead (the state is small
+# at serving scale; donation there bought nothing).
+cb_run_nodonate = partial(jax.jit,
+                          static_argnames=("cfg", "sc"))(_cb_run_impl)
 
 
 @dataclass
@@ -476,7 +485,10 @@ class ContinuousBatcher:
         # row — cb_run's pre-loop flush installs the first B requests
         state = state._replace(active=jnp.ones((b,), bool))
         slot_req = jnp.full((b,), n_req, jnp.int32)
-        out_tokens, out_ngen = cb_run(self.params, cfg, sc, state, queue,
+        from jax.interpreters import pxla
+        in_mesh = not pxla.thread_resources.env.physical_mesh.empty
+        run_fn = cb_run_nodonate if in_mesh else cb_run
+        out_tokens, out_ngen = run_fn(self.params, cfg, sc, state, queue,
                                       slot_req, jnp.int32(0))
         out_tokens = np.asarray(out_tokens)
         out_ngen = np.asarray(out_ngen)

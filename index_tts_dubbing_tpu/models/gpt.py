@@ -428,6 +428,90 @@ def trunk_decode_step_split_anc(params: Params, cfg: GPTConfig,
     return h, SplitCache(cache.kp, cache.vp, kg_all, vg_all)
 
 
+def trunk_decode_step_split_anc_bias(params: Params, cfg: GPTConfig,
+                                     x: jnp.ndarray, cache: SplitCache,
+                                     slot: jnp.ndarray, keep_p: jnp.ndarray,
+                                     nb: int, amap: jnp.ndarray
+                                     ) -> Tuple[jnp.ndarray, SplitCache]:
+    """Ancestry-routed beam step via SELECTION-BY-BIAS: the gen region is
+    attended as ONE flattened (nb_phys·G) key axis and the ancestry map is
+    applied as a precomputed additive mask — scores of non-ancestor
+    (physical row, slot) pairs get -1e30, so softmax zeroes them and the
+    value contraction ignores them. Per layer this is exactly the
+    no-reorder step's op structure (one gen score dot + one gen value dot,
+    no cross-beam selection einsum, no (b,h,n,m,G) mask multiply); the only
+    extra work vs the "splitnone" floor is that the gen dots span nb·G
+    instead of G keys — the SAME total K/V bytes the old anc step's
+    cross-product dots already read, minus its two extra einsum passes per
+    layer (the measured +5.3 ms/step residual, PERFORMANCE_NOTES r04).
+
+    Numerics: the unmasked score for (logical beam n, slot g) is the
+    identical q·k dot the physically-reordered step computes; masked
+    entries contribute exp(-1e30-max) = 0 to the softmax sum and weight-0
+    rows to the value dot. Token parity with the "full" HF-faithful gather
+    is asserted per-strategy in tests/test_beam.py.
+    """
+    params = _ensure_stacked(params)
+    bn = x.shape[0]
+    b = bn // nb
+    g_len = cache.kg.shape[4]
+    H, D = cfg.heads, cfg.head_dim
+    m_flat = nb * g_len
+    pbias = jnp.where(keep_p, 0.0, -1e30).astype(jnp.float32)  # (B, S0)
+    pbias = pbias[:, None, None, :]                            # (b,1,1,S0)
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    ident = jnp.broadcast_to(
+        jnp.arange(nb, dtype=amap.dtype)[None, :, None], (b, nb, 1))
+    amap_eff = jax.lax.dynamic_update_slice(amap, ident, (0, 0, slot))
+    # (b, n_logical, m_phys, G) ancestry + occupancy, flattened m-major to
+    # match kg's (b, H, nb, G, D) -> (b, H, nb*G, D) view; computed ONCE per
+    # step and reused by all layers as a pure additive bias
+    anc = (amap_eff[:, :, None, :]
+           == jnp.arange(nb, dtype=amap.dtype)[None, None, :, None])
+    occ = (jnp.arange(g_len) <= slot)[None, None, None, :]
+    gbias = jnp.where(anc & occ, 0.0, -1e30).astype(jnp.float32)
+    gbias = gbias.reshape(b, 1, nb, m_flat)                    # (b,1,n,M)
+    blocks = params["blocks"]
+    kg_all, vg_all = cache.kg, cache.vg
+    # layer loop unrolled: see trunk_decode_step NOTE
+    for li in range(cfg.layers):
+        blk = jax.tree.map(lambda a: a[li], blocks)
+        h = nn.layer_norm(blk["ln1"], x)
+        qkv = nn.linear(blk["attn"]["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)                   # (BN, C)
+        qb = q.reshape(b, nb, H, D)
+        k = k.reshape(b, nb, H, D).transpose(0, 2, 1, 3)       # (b,H,nb,D)
+        v = v.reshape(b, nb, H, D).transpose(0, 2, 1, 3)
+        kg_all = jax.lax.dynamic_update_slice(
+            kg_all, k[None, :, :, :, None].astype(kg_all.dtype),
+            (li, 0, 0, 0, slot, 0))
+        vg_all = jax.lax.dynamic_update_slice(
+            vg_all, v[None, :, :, :, None].astype(vg_all.dtype),
+            (li, 0, 0, 0, slot, 0))
+        lp = jnp.einsum("bnhd,bhsd->bhns", qb,
+                        cache.kp[li].astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+        lp = lp + pbias                                        # (b,h,n,S0)
+        kg_v = kg_all[li].astype(q.dtype).reshape(b, H, m_flat, D)
+        lg = jnp.einsum("bnhd,bhmd->bhnm", qb, kg_v,
+                        preferred_element_type=jnp.float32) * scale
+        lg = lg + gbias                                        # (b,h,n,M)
+        logits = jnp.concatenate([lp, lg], axis=-1)            # (b,h,n,S0+M)
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        s0 = cache.kp.shape[3]
+        wp, wg = w[..., :s0], w[..., s0:]
+        o = jnp.einsum("bhns,bhsd->bhnd", wp, cache.vp[li].astype(x.dtype),
+                       preferred_element_type=x.dtype)
+        vg_v = vg_all[li].astype(x.dtype).reshape(b, H, m_flat, D)
+        o = o + jnp.einsum("bhnm,bhmd->bhnd", wg, vg_v,
+                           preferred_element_type=x.dtype)
+        o = o.transpose(0, 2, 1, 3).reshape(bn, H * D)         # (bn, C)
+        x = x + nn.linear(blk["attn"]["proj"], o)
+        x = x + _mlp(cfg, blk["mlp"], nn.layer_norm(blk["ln2"], x))
+    h = nn.layer_norm(params["ln_f"], x)
+    return h, SplitCache(cache.kp, cache.vp, kg_all, vg_all)
+
+
 def trunk_decode_step_anc_full(params: Params, cfg: GPTConfig,
                                x: jnp.ndarray, kf: jnp.ndarray,
                                vf: jnp.ndarray, slot_abs: jnp.ndarray,

@@ -257,6 +257,12 @@ class ZhNormalizer:
              + ("" if int(m.group(2)) == 0 else
                 ("零" + zh_int(int(m.group(2))) if int(m.group(2)) < 10
                  else zh_int(int(m.group(2)))) + "分")),
+            # score reading: colon pairs the time rules did NOT consume
+            # (single-digit right side, or 3-digit sides) are X比Y —
+            # 比分3:2 → 比分三比二, 大比分4:0 → 大比分四比零
+            (re.compile(r"(\d{1,3}):(\d{1,3})"),
+             lambda m: zh_int(int(m.group(1))) + "比"
+             + zh_int(int(m.group(2)))),
             # hyphen/tilde ranges directly before a unit suffix run before the
             # phone rule (3-5元 is a range, not a number group): the right
             # endpoint is left for the unit rules below. -3~2℃ reads 零下;
@@ -278,11 +284,24 @@ class ZhNormalizer:
             # currency ranges before the phone rule (¥100-200 is not a phone)
             (re.compile(rf"[¥￥]\s*({n})\s*[~～\-—]\s*[¥￥]?\s*({n})"), rng_y),
             (re.compile(rf"\$\s*({n})\s*[~～\-—]\s*\$?\s*({n})"), rng_d),
+            # ID/account numbers after an explicit number-word read
+            # digit-by-digit (1 → 幺, the phone convention): 工号1024 →
+            # 工号幺零二四; runs before the phone/cardinal rules
+            (re.compile(r"((?:号码|编号|账号|卡号|工号|学号|订单号|房间号"
+                        r"|身份证号?|验证码|邮编|车牌号|QQ号?)(?:[是为:：]|是)?"
+                        r"\s*)(\d{3,})"),
+             lambda m: m.group(1) + zh_digits_phone(m.group(2))),
             # telephone: separator-joined or bare 11-digit mobile / 3-4+7-8
             (re.compile(r"(?<![¥￥$\d.])\d{3,}(?:[-\s]\d{3,})+"),
              lambda m: zh_digits_phone(re.sub(r"[-\s]", "", m.group(0)))),
             (re.compile(r"(?<!\d)1[3-9]\d{9}(?!\d)"),
              lambda m: zh_digits_phone(m.group(0))),
+            # money with a magnitude suffix: the symbol reads AFTER the
+            # magnitude ($3.5万 → 三点五万美元, ¥2亿 → 两...二亿元)
+            (re.compile(rf"[¥￥]\s*({n})\s*(万亿|亿|万)"),
+             lambda m: zh_number(m.group(1)) + m.group(2) + "元"),
+            (re.compile(rf"\$\s*({n})\s*(万亿|亿|万)"),
+             lambda m: zh_number(m.group(1)) + m.group(2) + "美元"),
             # money
             (re.compile(rf"[¥￥]\s*({n})"), lambda m: zh_number(m.group(1)) + "元"),
             (re.compile(rf"\$\s*({n})"), lambda m: zh_number(m.group(1)) + "美元"),
@@ -329,6 +348,11 @@ class ZhNormalizer:
             (re.compile(f"[{_ROMAN_UC}{_ROMAN_LC}]"),
              lambda m: zh_int((_ROMAN_UC + _ROMAN_LC).index(m.group(0)) % 12
                               + 1)),
+            # signed bare numbers: a leading minus not part of a range /
+            # date / phone (all consumed above) and not glued to letters
+            # (product codes like A-1) reads 负 — 气温-5度 → 气温负五度
+            (re.compile(rf"(?<![\dA-Za-z~～—\-])-({n})"),
+             lambda m: "负" + zh_number(m.group(1))),
             # ordinals ride the bare-number rule (第3 → 第三)
             (re.compile(n), lambda m: zh_number(m.group(0))),
         ]
@@ -377,16 +401,29 @@ class EnNormalizer:
             return lo + txt + hi
 
         self.rules: List[Tuple[re.Pattern, Callable[[re.Match], str]]] = [
-            # digit grouping: 100,000 → 100000 (before everything)
-            (re.compile(r"(?<!\d)(\d{1,3}(?:,\d{3})+)(?!\d)"),
+            # digit grouping in unit contexts ($1,234 / 1,234%) only strips
+            # the commas — the money/percent rules read the result
+            (re.compile(r"(?:(?<=\$)|(?=\d[\d,]*%))(\d{1,3}(?:,\d{3})+)"),
              lambda m: m.group(1).replace(",", "")),
+            # elsewhere digit grouping reads as a CARDINAL directly (1,234
+            # is a count, never a year — '1,234 left' must not ride the
+            # year rule)
+            (re.compile(r"(?<![\d$])(\d{1,3}(?:,\d{3})+)(?![\d%])"),
+             lambda m: pad(m, en_number(m.group(1).replace(",", "")))),
             # time
             (re.compile(r"(\d{1,2}):00\s*(AM|PM|am|pm)?"),
              lambda m: en_int(int(m.group(1))) + " o'clock"
              + (f" {' '.join(m.group(2).upper())}" if m.group(2) else "")),
             (re.compile(r"(\d{1,2}):(\d{2})\s*(AM|PM|am|pm)?"),
-             lambda m: en_int(int(m.group(1))) + " " + en_int(int(m.group(2)))
+             lambda m: en_int(int(m.group(1))) + " "
+             + (("oh " if int(m.group(2)) < 10 else "")
+                + en_int(int(m.group(2))))
              + (f" {' '.join(m.group(3).upper())}" if m.group(3) else "")),
+            # emergency/short service numbers after call/dial read
+            # digit-by-digit: Call 911 → Call nine one one
+            (re.compile(r"\b(call|dial)\s+(\d{3})(?![\d\-])",
+                        re.IGNORECASE),
+             lambda m: m.group(1) + " " + en_digits(m.group(2))),
             # year ranges BEFORE the phone rule: 1990-1995 → year to year
             (re.compile(r"\b(1[0-9]{3}|20[0-9]{2})\s*[-~～—]\s*"
                         r"(1[0-9]{3}|20[0-9]{2})\b"),
@@ -405,7 +442,9 @@ class EnNormalizer:
              if m.group(1) not in ("1", "1.0") else "one dollar"),
             # percent ranges: the dash after % reads "to"
             (re.compile(r"(?<=%)\s*[-~～—]\s*(?=\d)"), lambda m: " to "),
-            (re.compile(rf"({n})\s*%"), lambda m: en_number(m.group(1)) + " percent"),
+            (re.compile(rf"(-?)({n})\s*%"),
+             lambda m: ("minus " if m.group(1) else "")
+             + en_number(m.group(2)) + " percent"),
             # temperature: -5°C → minus five degrees Celsius
             (re.compile(rf"(-?)({n})\s*(?:°C|℃)"),
              lambda m: ("minus " if m.group(1) else "")
@@ -428,6 +467,10 @@ class EnNormalizer:
             (re.compile(r"\b(\d{1,3})\s*[-~～—]\s*(\d{1,3})\b(?![\d.\-])"),
              lambda m: en_int(int(m.group(1))) + " to "
              + en_int(int(m.group(2)))),
+            # signed bare numbers (ranges/phones/dates consumed above;
+            # hyphenated words like all-4 keep the dash via the letter guard)
+            (re.compile(rf"(?<![\dA-Za-z~～—\-])-({n})"),
+             lambda m: pad(m, "minus " + en_number(m.group(1)))),
             # bare numbers (space-padded against letters: beta2 → beta two)
             (re.compile(n), lambda m: pad(m, en_number(m.group(0)))),
         ]

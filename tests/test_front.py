@@ -276,7 +276,34 @@ def test_normalizer_golden_zh(norm):
         "10002": "一万零二",
         "2002年": "二零零二年",
         "0.07": "零点零七",
+        # score readings (colon pairs the time rules don't consume)
+        "比分3:2": "比分三比二",
+        "大比分4:0晋级": "大比分四比零晋级",
+        "以2:1逆转": "以二比一逆转",
+        "双方0:0收场": "双方零比零收场",
+        # ID/account digit-by-digit reading (1 → 幺)
+        "工号1024": "工号幺零二四",
+        "验证码是8817": "验证码是八八幺七",
+        "房间号304": "房间号三零四",
+        "邮编100080": "邮编幺零零零八零",
+        "热线400-123-4567": "热线四零零幺二三四五六七",
+        # currency symbol before a magnitude-suffixed number
+        "$3.5万": "三点五万美元",
+        "¥2.8亿": "二点八亿元",
+        "融资$1.2亿": "融资一点二亿美元",
+        # negative quantities outside the unit rules
+        "最低-5度": "最低负五度",
+        "净利润-3.2万": "净利润负三点二万",
+        "海拔-154米": "海拔负一百五十四米",
+        # more fractions
+        "占2/3多数": "占三分之二多数",
+        "进度1/2": "进度二分之一",
+        # clock seconds, bare thousands, mixed units
+        "用时1:23:45": "用时一点二十三分四十五秒",
+        "全长42.195km": "全长四十二点一九五千米",
+        "装了500ml水": "装了五百毫升水",
     }
+    assert len(golden) >= 80, len(golden)
     for src, want in golden.items():
         assert norm.normalize(src) == want, (src, norm.normalize(src))
 
@@ -305,7 +332,21 @@ def test_normalizer_golden_en(norm):
         "a 5.5-inch screen": "a five point five-inch screen",
         "100,000 people": "one hundred thousand people",
         "See you at 7:45": "See you at seven forty five",
+        # ordinals incl. irregular/compound
+        "the 3rd time": "the third time",
+        "ranked 101st": "ranked one hundred first",
+        "his 12th birthday": "his twelfth birthday",
+        "the 40th floor": "the fortieth floor",
+        # signed quantities
+        "a loss of -3.5%": "a loss of minus three point five percent",
+        "-12 degrees": "minus twelve degrees",
+        # oh-minutes, emergency digits, fractions, grouping
+        "at 12:05 PM": "at twelve oh five P M",
+        "Call 911 now": "Call nine one one now",
+        "2/5 done": "two fifths done",
+        "only 1,234 left": "only one thousand two hundred thirty four left",
     }
+    assert len(golden) >= 30, len(golden)
     for src, want in golden.items():
         assert norm.normalize(src) == want, (src, norm.normalize(src))
 
