@@ -56,7 +56,10 @@ def main(argv=None):
 
     if args.model_dir:
         from index_tts_dubbing_tpu.engine.tts import IndexTTS
-        eng = IndexTTS(model_dir=args.model_dir, verbose_init=False)
+        cfg_yaml = os.path.join(args.model_dir, "config.yaml")
+        eng = IndexTTS(
+            cfg_path=cfg_yaml if os.path.exists(cfg_yaml) else None,
+            model_dir=args.model_dir, verbose_init=False)
         cfg, params = eng.gpt_cfg, eng.params["gpt"]
         src = args.model_dir
     else:
