@@ -99,9 +99,18 @@ def main():
     from index_tts_dubbing_tpu.utils.config import EngineConfig
 
     fp16 = "--fp32" not in sys.argv
+    # --int8: weight-only int8 GPT trunk through the SAME fused/public path
+    # (r04 verdict #5). Opt-in and clearly labeled: the engine default
+    # stays bf16 until a REAL converted checkpoint passes the recorded
+    # tools/int8_accept.py thresholds (random weights fail them by
+    # construction — see docs/PERFORMANCE_NOTES.md "int8 decision"). The
+    # int8 programs are distinct cache keys, so this leg pays its own
+    # compiles (not in the seed snapshot).
+    int8 = "--int8" in sys.argv
     log("engine init...")
     engine = IndexTTS(config=EngineConfig(), is_fp16=fp16,
-                      verbose_init=False, seed=0)
+                      verbose_init=False, seed=0,
+                      quantize="int8" if int8 else None)
     log("engine ready")
 
     sr = engine.cfg.mel.sample_rate
@@ -301,6 +310,7 @@ def main():
             "warmup_wall_s": round(time.perf_counter() - T0 - t_fast
                                    - t_beam - t_mfast - t_mbeam, 1),
             "dtype": "bf16" if fp16 else "fp32",
+            "quantize": "int8 (opt-in, accept-gated)" if int8 else "none",
             "backend": jax.default_backend(),
         },
     }))

@@ -368,10 +368,10 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         # the shard-local grouped einsum permutation instead
         reorder = "split"
     cof = reorder in ("cof", "cofdense")
-    anc = reorder in ("anc", "ancnone", "ancb")
+    anc = reorder in ("anc", "ancnone", "ancb", "ancsw")
     ancfull = reorder == "ancfull"
     split = reorder in ("split", "splitnone", "cof", "cofdense", "anc",
-                        "ancnone", "ancb")
+                        "ancnone", "ancb", "ancsw")
     keep_full = None
     if ancfull:
         # merged-buffer ancestry decode: nb-replicated prefix + gen region
@@ -814,6 +814,9 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
             hh = jnp.take(hh, m, axis=0)
         elif reorder == "ancb":
             hh, cache = gpt_model.trunk_decode_step_split_anc_bias(
+                params, cfg, emb, cache, j - 1, pad_keep, nb, amap)
+        elif reorder == "ancsw":
+            hh, cache = gpt_model.trunk_decode_step_split_anc_sw(
                 params, cfg, emb, cache, j - 1, pad_keep, nb, amap)
         elif anc:
             hh, cache = gpt_model.trunk_decode_step_split_anc(

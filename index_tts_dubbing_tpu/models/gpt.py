@@ -512,6 +512,104 @@ def trunk_decode_step_split_anc_bias(params: Params, cfg: GPTConfig,
     return h, SplitCache(cache.kp, cache.vp, kg_all, vg_all)
 
 
+def trunk_decode_step_split_anc_sw(params: Params, cfg: GPTConfig,
+                                   x: jnp.ndarray, cache: SplitCache,
+                                   slot: jnp.ndarray, keep_p: jnp.ndarray,
+                                   nb: int, amap: jnp.ndarray
+                                   ) -> Tuple[jnp.ndarray, SplitCache]:
+    """The anc step with OCCUPANCY-BOUNDED cross dots: the per-layer gen
+    attention (score cross-product + masked value contraction — the anc
+    step's measured +5.3 ms/step residual, which spans the FULL G region
+    every step regardless of occupancy) runs inside a lax.switch over
+    power-of-2 prefix widths {G/4, G/2, G}; the branch is picked by the
+    current slot, so early steps touch a quarter of the gen cache instead
+    of all of it. Branches only READ the cache (they return the small
+    (b,n,h·d) attention output) — unlike the r03 "blocked" reorder whose
+    conditionals RETURNED the cache and forced branch-isolation copies.
+    Numerics: identical to trunk_decode_step_split_anc (slots > slot are
+    -1e30-masked in every branch; the bounded region always covers the
+    occupancy). Token-parity with "full" asserted in tests/test_beam.py."""
+    params = _ensure_stacked(params)
+    bn = x.shape[0]
+    b = bn // nb
+    g_len = cache.kg.shape[4]
+    H, D = cfg.heads, cfg.head_dim
+    pbias = jnp.where(keep_p, 0.0, -1e30).astype(jnp.float32)  # (B, S0)
+    pbias = pbias[:, None, None, :]                            # (b,1,1,S0)
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    ident = jnp.broadcast_to(
+        jnp.arange(nb, dtype=amap.dtype)[None, :, None], (b, nb, 1))
+    amap_eff = jax.lax.dynamic_update_slice(amap, ident, (0, 0, slot))
+    anc = (amap_eff[:, :, None, :]
+           == jnp.arange(nb, dtype=amap.dtype)[None, None, :, None])
+    anc_f = anc.astype(jnp.float32)                 # (B, n, m, G)
+    anc_c = anc.astype(x.dtype)
+    # branch widths: quarters of G rounded up to a multiple of 8 (≥ 8)
+    w1 = max(8, -(-g_len // 4))
+    w2 = max(w1, -(-g_len // 2))
+    widths = [w for w in (w1, w2) if w < g_len] + [g_len]
+    occ = slot + 1                                  # occupied gen slots
+    br = sum((occ > w).astype(jnp.int32) for w in widths[:-1])
+    s0 = cache.kp.shape[3]
+    blocks = params["blocks"]
+    kg_all, vg_all = cache.kg, cache.vg
+
+    for li in range(cfg.layers):
+        blk = jax.tree.map(lambda a: a[li], blocks)
+        h = nn.layer_norm(blk["ln1"], x)
+        qkv = nn.linear(blk["attn"]["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)                   # (BN, C)
+        qb = q.reshape(b, nb, H, D)
+        k = k.reshape(b, nb, H, D).transpose(0, 2, 1, 3)       # (b,H,nb,D)
+        v = v.reshape(b, nb, H, D).transpose(0, 2, 1, 3)
+        kg_all = jax.lax.dynamic_update_slice(
+            kg_all, k[None, :, :, :, None].astype(kg_all.dtype),
+            (li, 0, 0, 0, slot, 0))
+        vg_all = jax.lax.dynamic_update_slice(
+            vg_all, v[None, :, :, :, None].astype(vg_all.dtype),
+            (li, 0, 0, 0, slot, 0))
+        lp = jnp.einsum("bnhd,bhsd->bhns", qb,
+                        cache.kp[li].astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+        lp = lp + pbias                                        # (b,h,n,S0)
+        kg_li, vg_li = kg_all[li], vg_all[li]
+        vp_li = cache.vp[li]
+
+        def attend(w):
+            """Whole attention with the gen region bounded to [0, w)."""
+            def f(qb, lp, kg_li, vg_li, vp_li, anc_f, anc_c):
+                kg_w = jax.lax.slice_in_dim(kg_li, 0, w, axis=3)
+                vg_w = jax.lax.slice_in_dim(vg_li, 0, w, axis=3)
+                af = jax.lax.slice_in_dim(anc_f, 0, w, axis=3)
+                ac = jax.lax.slice_in_dim(anc_c, 0, w, axis=3)
+                gbias = jnp.where(jnp.arange(w)[None, :] <= slot, 0.0,
+                                  -1e30).astype(jnp.float32)[:, None,
+                                                             None, :]
+                s_all = jnp.einsum(
+                    "bnhd,bhmgd->bhnmg", qb, kg_w.astype(qb.dtype),
+                    preferred_element_type=jnp.float32) * scale
+                lg = jnp.einsum("bhnmg,bnmg->bhng", s_all, af) + gbias
+                logits = jnp.concatenate([lp, lg], axis=-1)
+                wgt = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+                wp, wg = wgt[..., :s0], wgt[..., s0:]
+                o = jnp.einsum("bhns,bhsd->bhnd", wp,
+                               vp_li.astype(x.dtype),
+                               preferred_element_type=x.dtype)
+                wgm = wg[:, :, :, None, :] * ac[:, None, :, :, :]
+                o = o + jnp.einsum("bhnmg,bhmgd->bhnd", wgm,
+                                   vg_w.astype(x.dtype),
+                                   preferred_element_type=x.dtype)
+                return o.transpose(0, 2, 1, 3).reshape(bn, H * D)
+            return f
+
+        o = jax.lax.switch(br, [attend(w) for w in widths], qb, lp,
+                           kg_li, vg_li, vp_li, anc_f, anc_c)
+        x = x + nn.linear(blk["attn"]["proj"], o)
+        x = x + _mlp(cfg, blk["mlp"], nn.layer_norm(blk["ln2"], x))
+    h = nn.layer_norm(params["ln_f"], x)
+    return h, SplitCache(cache.kp, cache.vp, kg_all, vg_all)
+
+
 def trunk_decode_step_anc_full(params: Params, cfg: GPTConfig,
                                x: jnp.ndarray, kf: jnp.ndarray,
                                vf: jnp.ndarray, slot_abs: jnp.ndarray,

@@ -57,6 +57,56 @@ def test_engine_int8_end_to_end(tmp_path):
         assert float(a @ b) / denom > 0.9
 
 
+def test_int8_fused_matches_staged(tmp_path):
+    """quantize='int8' composed with the fused one-program graph (r04
+    verdict #5): the fused route must produce the staged pipeline's exact
+    codes and allclose waveform under the same key, and the public
+    infer_fast surface must still ride the fused path under int8."""
+    import sys
+    sys.path.insert(0, ".")
+    import jax
+    import jax.numpy as jnp
+    from tests.test_engine import small_config, _prompt_wav
+    from index_tts_dubbing_tpu.engine.tts import (IndexTTS,
+                                                  remove_long_silence)
+
+    rng = np.random.default_rng(3)
+    eng = IndexTTS(config=small_config(), verbose_init=False,
+                   quantize="int8")
+    cond_mel = rng.standard_normal((1, 100, 60)).astype(np.float32)
+    eng.set_cond_mel(cond_mel, key="<int8-fused>")
+    conds = eng._conditioning(cond_mel)
+    spk = eng.vocoder.speaker_embedding(
+        jnp.asarray(cond_mel.transpose(0, 2, 1)))
+    rows = [rng.integers(2, 100, size=n).astype(np.int32)
+            for n in (7, 5, 9)]
+    sc = eng._sampling_config(dict(num_beams=1, do_sample=True,
+                                   max_mel_tokens=20))
+
+    eng._rng = jax.random.PRNGKey(4)
+    codes, _ = eng._decode_batch(conds, rows, sc)
+    lat_rows = []
+    for i in range(len(rows)):
+        rc, rl = remove_long_silence(codes[i:i + 1], eng.stop_mel_token)
+        lat_rows.append((rows[i], rc[0], int(rl[0])))
+    lat_dev, lens, inv = eng._latents_batch_device(conds, lat_rows)
+    wav_staged = eng.vocoder.stream_device(
+        lat_dev, lens, order=inv[np.arange(len(rows))], spk=spk)
+
+    eng._rng = jax.random.PRNGKey(4)
+    wav_fused, res = eng.synthesize_fused(conds, rows, sc, spk)
+    np.testing.assert_array_equal(np.asarray(res.codes), codes)
+    np.testing.assert_allclose(wav_fused, wav_staged, atol=2e-3)
+
+    # public surface still routes fused under int8
+    p = _prompt_wav(tmp_path)
+    sr, wav = eng.infer_fast(str(p), "ab ab. cd cd.", None,
+                             max_mel_tokens=12, do_sample=False,
+                             num_beams=1)
+    assert eng.last_path == "fused"
+    assert wav.shape[0] > 0
+
+
 def test_unknown_quantize_mode_rejected():
     from index_tts_dubbing_tpu.engine.tts import IndexTTS
     import sys
