@@ -48,6 +48,13 @@ from index_tts_dubbing_tpu.models.gpt import GPTConfig
 class FusedResult(NamedTuple):
     wav: jnp.ndarray        # (num_windows · window · upsample,) fp32; valid
                             # prefix is stream_frames · upsample samples
+    wav_i16: jnp.ndarray    # same samples as int16 (clip(wav·32767), the
+                            # engine's emission scaling) — computed ON
+                            # DEVICE so the public path downloads 2 bytes/
+                            # sample over the ~60 MB/s tunneled link
+                            # instead of 4 (measured: 206 → 124 ms for the
+                            # bench wav). Fields are downloaded lazily;
+                            # callers touch exactly one of wav / wav_i16.
     stream_frames: jnp.ndarray   # scalar: total latent frames after trim
     codes: jnp.ndarray      # (B, steps) raw generated codes (pre-trim)
     gen_lengths: jnp.ndarray     # (B,) pre-trim lengths (decode accounting)
@@ -214,4 +221,8 @@ def synthesize_fused(gpt_params: Dict[str, Any], bv_params: Dict[str, Any],
         wav = jax.lax.dynamic_update_slice(
             wav, last_out, (last.astype(jnp.int32) * (window * up),))
 
-    return FusedResult(wav, t, res.codes, res.lengths, lens, lat)
+    # device-side emission scaling (matches the host np.clip(wav·32767)
+    # .astype(int16): XLA's float→int convert truncates toward zero like
+    # numpy's astype)
+    wav_i16 = jnp.clip(wav * 32767.0, -32767.0, 32767.0).astype(jnp.int16)
+    return FusedResult(wav, wav_i16, t, res.codes, res.lengths, lens, lat)

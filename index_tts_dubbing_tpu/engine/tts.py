@@ -253,7 +253,7 @@ class IndexTTS:
                  use_pallas: bool = False, seed: int = 0,
                  verbose_init: bool = True,
                  quantize: Optional[str] = None,
-                 mesh=None):
+                 mesh=None, vocoder_window: Optional[int] = None):
         from index_tts_dubbing_tpu.utils.jax_setup import setup_jax
         setup_jax()
         self.cfg = (config if config is not None
@@ -321,7 +321,9 @@ class IndexTTS:
             win_length=self.cfg.mel.win_length, n_mels=self.cfg.mel.n_mels)
         self.vocoder = WindowedVocoder(self.params["bigvgan"],
                                        self.bigvgan_cfg,
-                                       compute_dtype=self.dtype)
+                                       compute_dtype=self.dtype,
+                                       **({"window": vocoder_window}
+                                          if vocoder_window else {}))
         self.cache_audio_prompt = None
         self.cache_cond_mel = None
         self.gr_progress = None
@@ -656,16 +658,20 @@ class IndexTTS:
 
     def synthesize_fused(self, conds, token_rows: List[np.ndarray],
                          sc: SamplingConfig, spk, live=None,
-                         num_windows: Optional[int] = None):
+                         num_windows: Optional[int] = None,
+                         emit: str = "f32"):
         """One-program batch synthesis (engine/fused.py): the whole
         decode→trim→latent→vocode pipeline as a single XLA program, honoring
         the engine's num_beams (beam sampling/search when > 1). Rows are
         padded to one TEXT bucket. ``live`` (n,) bool marks batch-padding
         rows dead (stop at step 0, zero stream frames); ``num_windows``
         overrides the static vocode window count (callers that know the live
-        row count can shrink it below ceil(n·steps/window)). Returns
-        (wav float32 (t·1024,), FusedResult) — wav already cropped to the
-        real stream length."""
+        row count can shrink it below ceil(n·steps/window)). ``emit``:
+        "f32" downloads the fp32 waveform; "i16" downloads the DEVICE-side
+        int16 emission (clip(wav·32767) — half the bytes over the tunneled
+        link; the public surfaces' output scaling). Returns
+        (wav (t·1024,) float32 or int16 per ``emit``, FusedResult) — wav
+        already cropped to the real stream length."""
         from index_tts_dubbing_tpu.engine import fused as fused_mod
         n = len(token_rows)
         lmax = max(r.size for r in token_rows)
@@ -707,7 +713,13 @@ class IndexTTS:
             lens = np.asarray(res.lens)
             stream = np.concatenate(
                 [latnp[i, : lens[i]] for i in range(n)], axis=0)
-            return voc(stream.astype(np.float32), spk=spk[:1]), res
+            wav = voc(stream.astype(np.float32), spk=spk[:1])
+            if emit == "i16":
+                wav = np.clip(wav * 32767.0, -32767.0,
+                              32767.0).astype(np.int16)
+            return wav, res
+        if emit == "i16":
+            return np.asarray(res.wav_i16)[: t * up], res
         wav = np.asarray(res.wav)[: t * up].astype(np.float32)
         return wav, res
 
@@ -739,8 +751,11 @@ class IndexTTS:
         FUSED_BATCH_BUCKET with dummy rows marked DEAD via the ``live``
         mask (they stop at decode step 0 and contribute zero stream frames,
         so padding costs neither decode steps nor vocode windows), runs
-        synthesize_fused, and returns (wav fp32 scaled like the staged
-        path pre-clip, per-row latent frame lens for the REAL rows)."""
+        synthesize_fused, and returns (wav, per-row latent frame lens for
+        the REAL rows). wav is int16 in the EMISSION scaling (device-side
+        clip(wav·32767) — half the download bytes) on the full-vocode
+        flavor, fp32 pre-clip on the fused+stream flavor — callers branch
+        on dtype."""
         n_real = len(rows)
         n_pad = next(bb for bb in self.FUSED_BATCH_BUCKETS if bb >= n_real)
         rows = list(rows) + [np.array([2], np.int32)] * (n_pad - n_real)
@@ -785,7 +800,8 @@ class IndexTTS:
         nw_real = -(-n_real * steps // voc.window)
         num_windows = min(nw_pad, _round_up(nw_real, 8))
         wav, res = self.synthesize_fused(conds, rows, sc, spk, live=live,
-                                         num_windows=num_windows)
+                                         num_windows=num_windows,
+                                         emit="i16")
         self.last_fused_res = res
         self.last_fused_flavor = "fused"
         lens = np.asarray(res.lens)[:n_real]
@@ -882,7 +898,8 @@ class IndexTTS:
             wav, _ = self._synthesize_fused_public(conds, sent_rows, sc, spk)
             times.gpt_gen += time.perf_counter() - t0
             self._set_gr_progress(0.9, "save audio...")
-            wav = np.clip(wav * 32767.0, -32767.0, 32767.0)
+            if wav.dtype != np.int16:   # fused+stream flavor emits fp32
+                wav = np.clip(wav * 32767.0, -32767.0, 32767.0)
             times.total = time.perf_counter() - start_time
             times.audio_seconds = wav.size / sr
             self._report(times, fast=True, path="fused")
@@ -980,7 +997,9 @@ class IndexTTS:
             wav, lens = self._synthesize_fused_public(conds, flat_rows, sc,
                                                       spk)
             times.gpt_gen += time.perf_counter() - t0
-            wav = np.clip(wav * 32767.0, -32767.0, 32767.0).astype(np.int16)
+            if wav.dtype != np.int16:   # fused+stream flavor emits fp32
+                wav = np.clip(wav * 32767.0, -32767.0,
+                              32767.0).astype(np.int16)
             up = self.vocoder.upsample
             bounds = np.concatenate([[0], np.cumsum(lens)]) * up
             outs = []

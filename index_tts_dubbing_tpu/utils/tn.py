@@ -205,10 +205,13 @@ class ZhNormalizer:
 
     Rule depth targets the reference's executable spec
     (/root/reference/indextts/utils/front.py:437-483): dates (incl. y/m/d and
-    y-m-d range forms), clock times, telephone numbers (1→幺), money,
-    percents, fractions, ordinals, measure-word units, +-suffixed counts,
-    number ranges, temperatures, and bare cardinals; optional 儿化 and
-    interjection removal mirror WeTextProcessing's constructor flags."""
+    y-m-d range forms), clock times, telephone numbers (1→幺), money (incl.
+    symbol-before-magnitude: $3.5万), percents, fractions, score readings
+    (比分3:2 → 三比二), ID/account digit-by-digit reading (工号1024 →
+    幺零二四), ordinals, measure-word units, +-suffixed counts, number
+    ranges, temperatures, signed bare numbers (负), and bare cardinals;
+    optional 儿化 and interjection removal mirror WeTextProcessing's
+    constructor flags. Golden corpus: tests/test_front.py (80 zh cases)."""
 
     def __init__(self, remove_erhua: bool = False,
                  remove_interjections: bool = False):

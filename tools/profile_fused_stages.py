@@ -11,9 +11,11 @@ at the bench workload (B=16 x 48-token rows, 192 steps, bf16):
   trim+latent ~= lat - decode;  vocode ~= full - lat
 
 Usage: python tools/profile_fused_stages.py [batch] [steps] [num_beams]
-Defaults: 16 192 3 (the quality-default bench shape). r04 verdict #2:
+                                            [window]
+Defaults: 16 192 3 112 (the quality-default bench shape). r04 verdict #2:
 the ~1.8 s trim/latent/vocode tail is the quality path's largest stage —
-this tool says which slice to attack.
+this tool says which slice to attack. ``window`` overrides the vocoder
+window size (halo overhead = 2·16/(window+32) of computed frames).
 """
 import os
 import sys
@@ -30,15 +32,17 @@ def main():
 
     from index_tts_dubbing_tpu.engine import decode as decode_mod
     from index_tts_dubbing_tpu.engine import fused as fused_mod
-    from index_tts_dubbing_tpu.engine.tts import IndexTTS, _round_up
+    from index_tts_dubbing_tpu.engine.tts import IndexTTS
     from index_tts_dubbing_tpu.utils.config import EngineConfig
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 192
     nb = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    window = int(sys.argv[4]) if len(sys.argv) > 4 else 112
     n_text = 48
 
-    eng = IndexTTS(config=EngineConfig(), is_fp16=True, verbose_init=False)
+    eng = IndexTTS(config=EngineConfig(), is_fp16=True, verbose_init=False,
+                   vocoder_window=window)
     rng = np.random.default_rng(0)
     cond_mel = rng.standard_normal((1, 100, 470)).astype(np.float32)
     eng.set_cond_mel(cond_mel)
@@ -82,12 +86,7 @@ def main():
     def full():
         eng._rng = key
         eng._num_beams = nb
-        wav, res = eng.synthesize_fused(conds, rows, sc, spk,
-                                        live=live,
-                                        num_windows=min(
-                                            -(-batch * steps // 112),
-                                            _round_up(-(-batch * steps
-                                                        // 112), 8)))
+        wav, res = eng.synthesize_fused(conds, rows, sc, spk, live=live)
         return wav
 
     for name, fn in (("decode", decode_only), ("lat", lat_only),
