@@ -467,7 +467,11 @@ class WindowedVocoder:
             dev = vocode(self.params, self.cfg,
                          jnp.asarray(lat, self.compute_dtype), spk)
             chunks.append((chunk, dev))
-        return self._collect(t, chunks)
+        out = self._collect(t, chunks)
+        self._edge_spk = spk
+        self._apply_edge_patches(
+            out, t, lambda lo, pw: jnp.asarray(latent[lo: lo + pw]))
+        return out
 
     def _vocode_fn(self, exact: bool = False):
         """The window-batch vocode callable. exact=True forces the zero-pad
@@ -481,23 +485,48 @@ class WindowedVocoder:
                        fuse_resblocks=self.fuse_resblocks,
                        packed=self._packed_weights())
 
+    def _edge_approx(self) -> bool:
+        """True when the fast path approximates TRUE stream boundaries
+        (Pallas kernels replicate stage inputs where the exact path
+        zero-pads each conv) — the case edge patches correct."""
+        return (self.layout == "cmajor"
+                and (self.use_pallas or self.fuse_resblocks))
+
     def _plan_batches(self, wins):
-        """Yield (window chunk, exact_flag). With edge_exact and an
-        approximate fast path, the first and last windows (the only ones
-        whose output reaches a true stream boundary) go through one small
-        exact-path batch; interior windows keep the fast kernels."""
-        approx = (self.layout == "cmajor"
-                  and (self.use_pallas or self.fuse_resblocks))
-        if not (self.edge_exact and approx):
-            for chunk in self._window_batches(wins):
-                yield chunk, False
-            return
-        if len(wins) == 1:
-            yield list(wins), True
-            return
-        yield [wins[0], wins[-1]], True
-        for chunk in self._window_batches(wins[1:-1]):
+        """Yield (window chunk, exact_flag): every window rides the fast
+        kernels. Stream-boundary exactness is restored AFTER collection by
+        ``_apply_edge_patches`` — re-vocoding 2·halo-frame PATCHES through
+        the exact path, not whole windows (a fast window's output is
+        already exact ≥ halo frames from the boundary: halo ≥ the
+        receptive field, the same contract that makes interior window
+        seams exact; the unfused exact path is ~5× the fused kernels'
+        per-frame cost, so shrinking its domain is the single biggest
+        vocoder win — measured r05)."""
+        for chunk in self._window_batches(wins):
             yield chunk, False
+
+    def _apply_edge_patches(self, out: np.ndarray, t: int, fetch) -> None:
+        """Overwrite out[: halo·up] and out[(t-halo)·up :] with the exact
+        path's boundary outputs. ``fetch(lo, pw)`` returns the (pw, C)
+        latent patch starting at stream frame lo (host or device source).
+        Each patch keeps only its boundary-adjacent half; its other edge is
+        ≥ halo from every kept sample, out of receptive-field reach."""
+        if not (self.edge_exact and self._edge_approx()):
+            return
+        pw = 2 * self.halo
+        up = self.upsample
+        # windowed streams have t > window + 2·halo > pw, so the patches
+        # always fit and their kept halves never overlap (t > 2·halo);
+        # defensive early-out for direct callers
+        if t < pw:
+            return
+        patches = jnp.stack([fetch(0, pw), fetch(t - pw, pw)])
+        vocode = self._vocode_fn(exact=True)
+        ewav = np.asarray(vocode(self.params, self.cfg,
+                                 patches.astype(self.compute_dtype),
+                                 self._edge_spk[:1])).astype(np.float32)
+        out[: self.halo * up] = ewav[0, : self.halo * up]
+        out[(t - self.halo) * up: t * up] = ewav[1, self.halo * up:]
 
     # -- shared window-plan helpers ------------------------------------
     def _window_list(self, t: int):
@@ -586,4 +615,10 @@ class WindowedVocoder:
             dev = self._vocode_fn(exact=exact)(self.params, self.cfg,
                                                windows, spk)
             chunks.append((chunk, dev))
-        return self._collect(t, chunks)
+        out = self._collect(t, chunks)
+        self._edge_spk = spk
+        self._apply_edge_patches(
+            out, t,
+            lambda lo, pw: _gather_windows(
+                lat, jnp.asarray(flatmap[lo: lo + pw][None]))[0])
+        return out
