@@ -21,6 +21,21 @@ def test_infer_batch(engine, tmp_path):
         assert wav.ndim == 2 and wav.shape[0] > 0
 
 
+def test_infer_batch_mixed_lengths_ride_fused(engine, tmp_path):
+    """Texts whose sentences span DIFFERENT text buckets route through the
+    fused one-program path since r05 (padded to the batch's max bucket,
+    batch-bucket pad rows dead via the live mask) — and each text gets its
+    own non-empty stream slice back in order."""
+    p = _prompt_wav(tmp_path)
+    texts = ["ab ab.", "cd " * 14 + "cd.", "e e."]   # buckets span 16/32
+    outs = engine.infer_batch(str(p), texts, max_mel_tokens=12,
+                              do_sample=False, num_beams=1)
+    assert engine.last_path == "fused"
+    assert len(outs) == 3
+    for sr, wav in outs:
+        assert sr == 24000 and wav.dtype == np.int16 and wav.shape[0] > 0
+
+
 def test_batched_strategy_uses_batch(engine, tmp_path):
     from index_tts_dubbing_tpu.dubbing.engines.index_tts import IndexTTSEngine
     from index_tts_dubbing_tpu.dubbing.srt_parser import SRTParser
