@@ -368,10 +368,10 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
         # the shard-local grouped einsum permutation instead
         reorder = "split"
     cof = reorder in ("cof", "cofdense")
-    anc = reorder in ("anc", "ancnone", "ancb", "ancsw")
+    anc = reorder in ("anc", "ancnone", "ancb", "ancsw", "ancg")
     ancfull = reorder == "ancfull"
     split = reorder in ("split", "splitnone", "cof", "cofdense", "anc",
-                        "ancnone", "ancb", "ancsw")
+                        "ancnone", "ancb", "ancsw", "ancg")
     keep_full = None
     if ancfull:
         # merged-buffer ancestry decode: nb-replicated prefix + gen region
@@ -449,6 +449,16 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
     #           ms over the no-reorder floor is the extra score/value dot
     #           passes per layer ("ancnone" isolates it: 10.63), not the
     #           map bookkeeping. Token-bitwise == "full" on CPU.
+    #  "ancg"   (14.3 ms/step, r05 — NEGATIVE) — anc with the routing
+    #           hoisted OUT of the layer loop: the amap is fixed before the
+    #           trunk runs, so the whole layer-stacked gen cache is routed
+    #           by TWO take_along_axis gathers per step and each layer runs
+    #           the plain split attention (no cross-beam passes). Loses:
+    #           any materialised routing writes a full K+V copy of the gen
+    #           region per step, and at this backend's effective HBM rates
+    #           (~150-205 GB/s on these shapes) that costs more than the
+    #           ~80 small ops it deletes. Fourth-side confirmation that the
+    #           anc residual is op-issue-bound, not bandwidth-bound.
     #  "split"  (r03 default, 17.6 ms/step) — SplitCache + full-bn one-hot MXU
     #           einsum over the gen region. The einsum streams the cache
     #           through HBM exactly once (~205 GB/s effective) — 2.4-3×
@@ -817,6 +827,9 @@ def _beam_decode(params: Dict[str, Any], cfg: GPTConfig, sc: SamplingConfig,
                 params, cfg, emb, cache, j - 1, pad_keep, nb, amap)
         elif reorder == "ancsw":
             hh, cache = gpt_model.trunk_decode_step_split_anc_sw(
+                params, cfg, emb, cache, j - 1, pad_keep, nb, amap)
+        elif reorder == "ancg":
+            hh, cache = gpt_model.trunk_decode_step_split_ancg(
                 params, cfg, emb, cache, j - 1, pad_keep, nb, amap)
         elif anc:
             hh, cache = gpt_model.trunk_decode_step_split_anc(

@@ -610,6 +610,90 @@ def trunk_decode_step_split_anc_sw(params: Params, cfg: GPTConfig,
     return h, SplitCache(cache.kp, cache.vp, kg_all, vg_all)
 
 
+def trunk_decode_step_split_ancg(params: Params, cfg: GPTConfig,
+                                 x: jnp.ndarray, cache: SplitCache,
+                                 slot: jnp.ndarray, keep_p: jnp.ndarray,
+                                 nb: int, amap: jnp.ndarray
+                                 ) -> Tuple[jnp.ndarray, SplitCache]:
+    """Ancestry routing hoisted OUT of the layer loop: ONE gather per step.
+
+    The ancestry map is fixed before the trunk's (unrolled) layer loop runs,
+    so instead of per-layer cross-beam score/value passes (the anc step's
+    measured +5.3 ms/step residual — per-op issue cost of ~4 extra einsums
+    × 20 layers, PERFORMANCE_NOTES r05) the ENTIRE layer-stacked gen cache
+    is routed up front with two take_along_axis gathers over the beam axis
+    (K and V, (L, b, H, nb, G, D) each). Every layer then runs the plain
+    per-beam split attention — the exact op structure of the no-reorder
+    floor — against the routed temporaries, while the current step's K/V
+    are written to BOTH the persistent (unrouted) cache and the routed
+    temp at ``slot`` (where the effective map is identity), keeping the
+    attended values bit-identical to the physically-reordered step.
+
+    Trade: the gathers materialise a full K+V copy of the gen region per
+    step (bandwidth) to delete ~80 small ops (issue overhead) — measured
+    against anc/ancb/ancsw in tools/profile_beam_step.py.
+    """
+    params = _ensure_stacked(params)
+    bn = x.shape[0]
+    b = bn // nb
+    g_len = cache.kg.shape[4]
+    H, D = cfg.heads, cfg.head_dim
+    pbias = jnp.where(keep_p, 0.0, -1e30).astype(jnp.float32)  # (B, S0)
+    pbias = pbias[:, None, None, :]                            # (b,1,1,S0)
+    gbias = jnp.where(jnp.arange(g_len)[None, :] <= slot, 0.0,
+                      -1e30).astype(jnp.float32)[:, None, None, :]
+    scale = 1.0 / math.sqrt(cfg.head_dim)
+    ident = jnp.broadcast_to(
+        jnp.arange(nb, dtype=amap.dtype)[None, :, None], (b, nb, 1))
+    amap_eff = jax.lax.dynamic_update_slice(amap, ident, (0, 0, slot))
+    idx = amap_eff[None, :, None, :, :, None]       # (1,b,1,nb,G,1)
+    kr = jnp.take_along_axis(cache.kg, idx, axis=3)  # (L,b,H,nb,G,D) routed
+    vr = jnp.take_along_axis(cache.vg, idx, axis=3)
+    blocks = params["blocks"]
+    kg_all, vg_all = cache.kg, cache.vg
+    # layer loop unrolled: see trunk_decode_step NOTE
+    for li in range(cfg.layers):
+        blk = jax.tree.map(lambda a: a[li], blocks)
+        h = nn.layer_norm(blk["ln1"], x)
+        qkv = nn.linear(blk["attn"]["qkv"], h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)                   # (BN, C)
+        qb = q.reshape(b, nb, H, D)
+        k = k.reshape(b, nb, H, D).transpose(0, 2, 1, 3)       # (b,H,nb,D)
+        v = v.reshape(b, nb, H, D).transpose(0, 2, 1, 3)
+        knew = k[None, :, :, :, None]                          # (1,b,H,nb,1,D)
+        vnew = v[None, :, :, :, None]
+        kg_all = jax.lax.dynamic_update_slice(
+            kg_all, knew.astype(kg_all.dtype), (li, 0, 0, 0, slot, 0))
+        vg_all = jax.lax.dynamic_update_slice(
+            vg_all, vnew.astype(vg_all.dtype), (li, 0, 0, 0, slot, 0))
+        # the routed view was gathered before this step's writes — patch the
+        # current slot (identity-mapped) so attention sees the new token
+        kr = jax.lax.dynamic_update_slice(
+            kr, knew.astype(kr.dtype), (li, 0, 0, 0, slot, 0))
+        vr = jax.lax.dynamic_update_slice(
+            vr, vnew.astype(vr.dtype), (li, 0, 0, 0, slot, 0))
+        lp = jnp.einsum("bnhd,bhsd->bhns", qb,
+                        cache.kp[li].astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+        lp = lp + pbias                                        # (b,h,n,S0)
+        lg = jnp.einsum("bnhd,bhngd->bhng", qb, kr[li].astype(q.dtype),
+                        preferred_element_type=jnp.float32) * scale
+        lg = lg + gbias                                        # (b,h,n,G)
+        logits = jnp.concatenate([lp, lg], axis=-1)            # (b,h,n,S0+G)
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        s0 = cache.kp.shape[3]
+        wp, wg = w[..., :s0], w[..., s0:]
+        o = jnp.einsum("bhns,bhsd->bhnd", wp, cache.vp[li].astype(x.dtype),
+                       preferred_element_type=x.dtype)
+        o = o + jnp.einsum("bhng,bhngd->bhnd", wg, vr[li].astype(x.dtype),
+                           preferred_element_type=x.dtype)
+        o = o.transpose(0, 2, 1, 3).reshape(bn, H * D)         # (bn, C)
+        x = x + nn.linear(blk["attn"]["proj"], o)
+        x = x + _mlp(cfg, blk["mlp"], nn.layer_norm(blk["ln2"], x))
+    h = nn.layer_norm(params["ln_f"], x)
+    return h, SplitCache(cache.kp, cache.vp, kg_all, vg_all)
+
+
 def trunk_decode_step_anc_full(params: Params, cfg: GPTConfig,
                                x: jnp.ndarray, kf: jnp.ndarray,
                                vf: jnp.ndarray, slot_abs: jnp.ndarray,
