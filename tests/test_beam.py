@@ -100,8 +100,8 @@ def test_reorder_strategies_token_identical(setup, stochastic):
     key = jax.random.PRNGKey(7)
     ref = decode._beam_decode(params, cfg, sc, emb, keep, key, 3, 0.6,
                               stochastic=stochastic, reorder="full")
-    for strat in ("split", "anc", "ancfull", "ancg", "cof", "flat",
-                  "flatfull", "gen", "mm", "blocked"):
+    for strat in ("split", "anc", "ancfull", "ancg", "ancb", "ancsw", "cof",
+                  "flat", "flatfull", "gen", "mm", "blocked"):
         out = decode._beam_decode(params, cfg, sc, emb, keep, key, 3, 0.6,
                                   stochastic=stochastic, reorder=strat)
         np.testing.assert_array_equal(np.asarray(ref.codes),
