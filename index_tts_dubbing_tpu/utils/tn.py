@@ -413,15 +413,25 @@ class EnNormalizer:
             # year rule)
             (re.compile(r"(?<![\d$])(\d{1,3}(?:,\d{3})+)(?![\d%])"),
              lambda m: pad(m, en_number(m.group(1).replace(",", "")))),
-            # time
-            (re.compile(r"(\d{1,2}):00\s*(AM|PM|am|pm)?"),
+            # time; the am/pm suffix keeps its \s* INSIDE the optional group
+            # (a bare \s* before an unmatched suffix eats the space and
+            # glues the next word: '10:30 a.m.' -> 'ten thirtya.m.'), takes
+            # dotted forms, and refuses to eat word prefixes ('10:30 among')
+            # dotted forms need BOTH dots (a.m.), bare forms take none (pm) —
+            # 'pm.' must leave the sentence dot for the splitter
+            (re.compile(
+                r"(\d{1,2}):00(?:\s*([AaPp]\.[Mm]\.|[AaPp][Mm])(?![a-zA-Z]))?"),
              lambda m: en_int(int(m.group(1))) + " o'clock"
-             + (f" {' '.join(m.group(2).upper())}" if m.group(2) else "")),
-            (re.compile(r"(\d{1,2}):(\d{2})\s*(AM|PM|am|pm)?"),
+             + (f" {' '.join(m.group(2).replace('.', '').upper())}"
+                if m.group(2) else "")),
+            (re.compile(
+                r"(\d{1,2}):(\d{2})"
+                r"(?:\s*([AaPp]\.[Mm]\.|[AaPp][Mm])(?![a-zA-Z]))?"),
              lambda m: en_int(int(m.group(1))) + " "
              + (("oh " if int(m.group(2)) < 10 else "")
                 + en_int(int(m.group(2))))
-             + (f" {' '.join(m.group(3).upper())}" if m.group(3) else "")),
+             + (f" {' '.join(m.group(3).replace('.', '').upper())}"
+                if m.group(3) else "")),
             # emergency/short service numbers after call/dial read
             # digit-by-digit: Call 911 → Call nine one one
             (re.compile(r"\b(call|dial)\s+(\d{3})(?![\d\-])",

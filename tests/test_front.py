@@ -345,6 +345,13 @@ def test_normalizer_golden_en(norm):
         "Call 911 now": "Call nine one one now",
         "2/5 done": "two fifths done",
         "only 1,234 left": "only one thousand two hundred thirty four left",
+        # dotted am/pm forms keep their space; 'pm.' leaves the sentence
+        # dot; word prefixes after a time are never eaten (r05 fix)
+        "at 10:30 a.m. we start": "at ten thirty A M we start",
+        "at 9:15 P.M. sharp": "at nine fifteen P M sharp",
+        "closes at 11:00 pm. Then we left.":
+            "closes at eleven o'clock P M. Then we left.",
+        "at 10:30 among friends": "at ten thirty among friends",
     }
     assert len(golden) >= 30, len(golden)
     for src, want in golden.items():
