@@ -197,7 +197,7 @@ _ROMAN_LC = "ⅰⅱⅲⅳⅴⅵⅶⅷⅸⅹⅺⅻ"
 # 二→两 idiom: 2个人 → 两个人, but 第2 → 第二 and 2月 → 二月)
 _MEASURES = ("个只条张把件本辆位名台部架间家份杯瓶栋层块顶枚艘门颗粒棵株盏"
              "扇面批组届场趟回倍对双套段节首亩顿笔封包袋箱碗盘斤克吨"
-             "米天周年岁点排列")
+             "米天周年岁点排列集页幅幕支盆朵卷枝")
 
 
 class ZhNormalizer:
@@ -306,6 +306,10 @@ class ZhNormalizer:
             (re.compile(rf"\$\s*({n})\s*(万亿|亿|万)"),
              lambda m: zh_number(m.group(1)) + m.group(2) + "美元"),
             # money
+            (re.compile(rf"€\s*({n})\s*(万亿|亿|万)?"),
+             lambda m: zh_number(m.group(1)) + (m.group(2) or "") + "欧元"),
+            (re.compile(rf"£\s*({n})\s*(万亿|亿|万)?"),
+             lambda m: zh_number(m.group(1)) + (m.group(2) or "") + "英镑"),
             (re.compile(rf"[¥￥]\s*({n})"), lambda m: zh_number(m.group(1)) + "元"),
             (re.compile(rf"\$\s*({n})"), lambda m: zh_number(m.group(1)) + "美元"),
             (re.compile(rf"({n})\s*[元块]"),
@@ -406,12 +410,12 @@ class EnNormalizer:
         self.rules: List[Tuple[re.Pattern, Callable[[re.Match], str]]] = [
             # digit grouping in unit contexts ($1,234 / 1,234%) only strips
             # the commas — the money/percent rules read the result
-            (re.compile(r"(?:(?<=\$)|(?=\d[\d,]*%))(\d{1,3}(?:,\d{3})+)"),
+            (re.compile(r"(?:(?<=[$€£])|(?=\d[\d,]*%))(\d{1,3}(?:,\d{3})+)"),
              lambda m: m.group(1).replace(",", "")),
             # elsewhere digit grouping reads as a CARDINAL directly (1,234
             # is a count, never a year — '1,234 left' must not ride the
             # year rule)
-            (re.compile(r"(?<![\d$])(\d{1,3}(?:,\d{3})+)(?![\d%])"),
+            (re.compile(r"(?<![\d$€£])(\d{1,3}(?:,\d{3})+)(?![\d%])"),
              lambda m: pad(m, en_number(m.group(1).replace(",", "")))),
             # time; the am/pm suffix keeps its \s* INSIDE the optional group
             # (a bare \s* before an unmatched suffix eats the space and
@@ -453,6 +457,12 @@ class EnNormalizer:
             (re.compile(rf"\$\s*({n})"),
              lambda m: en_number(m.group(1)) + " dollars"
              if m.group(1) not in ("1", "1.0") else "one dollar"),
+            (re.compile(rf"€\s*({n})"),
+             lambda m: en_number(m.group(1)) + " euros"
+             if m.group(1) not in ("1", "1.0") else "one euro"),
+            (re.compile(rf"£\s*({n})"),
+             lambda m: en_number(m.group(1)) + " pounds"
+             if m.group(1) not in ("1", "1.0") else "one pound"),
             # percent ranges: the dash after % reads "to"
             (re.compile(r"(?<=%)\s*[-~～—]\s*(?=\d)"), lambda m: " to "),
             (re.compile(rf"(-?)({n})\s*%"),

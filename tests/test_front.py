@@ -302,6 +302,11 @@ def test_normalizer_golden_zh(norm):
         "用时1:23:45": "用时一点二十三分四十五秒",
         "全长42.195km": "全长四十二点一九五千米",
         "装了500ml水": "装了五百毫升水",
+        # euro/pound money, measure-word 两 incl. ordinal/date exclusions
+        "票价€50或£20": "票价五十欧元或二十英镑",
+        "投资€1.5万": "投资一点五万欧元",
+        "看了2集电视剧": "看了两集电视剧",
+        "2月2日2点开播2场": "二月二日两点开播两场",
     }
     assert len(golden) >= 80, len(golden)
     for src, want in golden.items():
@@ -352,6 +357,9 @@ def test_normalizer_golden_en(norm):
         "closes at 11:00 pm. Then we left.":
             "closes at eleven o'clock P M. Then we left.",
         "at 10:30 among friends": "at ten thirty among friends",
+        # euro/pound money incl. grouped digits and singular
+        "It costs €1,234": "It costs one thousand two hundred thirty four euros",
+        "about €1 and £2": "about one euro and two pounds",
     }
     assert len(golden) >= 30, len(golden)
     for src, want in golden.items():
