@@ -246,6 +246,10 @@ class ZhNormalizer:
             (re.compile(r"(\d{1,2}:\d{2}(?::\d{2})?)\s*[~～\-—]\s*"
                         r"(?=\d{1,2}:\d{2})"),
              lambda m: m.group(1) + "到"),
+            # year ranges where only the right side carries 年:
+            # 2023-2025年 → 二零二三到二零二五年
+            (re.compile(r"(\d{4})\s*[~～\-—]\s*(?=\d{4}\s*年)"),
+             lambda m: zh_digits(m.group(1)) + "到"),
             (re.compile(r"(\d{2,4})\s*年"),
              lambda m: zh_digits(m.group(1)) + "年"),
             (re.compile(r"(\d{1,2})\s*月(\d{1,2})\s*[日号]"),
@@ -345,8 +349,9 @@ class ZhNormalizer:
              lambda m: zh_int(int(m.group(2))) + "分之" + zh_int(int(m.group(1)))),
             # ranges 3~5 / 3-5 (phones already consumed)
             (re.compile(rf"({n})\s*[~～\-—]\s*({n})"), rng),
-            # "3000+" → 三千多
-            (re.compile(rf"({n})\s*\+"), lambda m: zh_number(m.group(1)) + "多"),
+            # "3000+" → 三千多, incl. magnitude suffixes (10万+ → 十万多)
+            (re.compile(rf"({n})\s*(万亿|亿|万)?\s*\+"),
+             lambda m: zh_number(m.group(1)) + (m.group(2) or "") + "多"),
             # measure-word idiom: a lone 2 before a measure word reads 两
             # (2个人 → 两个人; 第2/12个/2.5 are excluded by the guards)
             (re.compile(rf"(?<![\d.第])2(?![\d.])\s*(?=[{_MEASURES}])"),
@@ -373,6 +378,10 @@ class ZhNormalizer:
             text = re.sub(f"(?<=[{_ERHUA_PRE}])儿", "", text)
         return text
 
+
+_EN_DECADE = {"10": "tens", "20": "twenties", "30": "thirties",
+              "40": "forties", "50": "fifties", "60": "sixties",
+              "70": "seventies", "80": "eighties", "90": "nineties"}
 
 _FRACTION_DENOM = {2: ("half", "halves"), 3: ("third", "thirds"),
                    4: ("quarter", "quarters")}
@@ -478,9 +487,18 @@ class EnNormalizer:
             # ordinals
             (re.compile(r"\b(\d+)\s*(st|nd|rd|th)\b", re.IGNORECASE),
              lambda m: en_ordinal(int(m.group(1)))),
+            # the idiom 24/7 is not a fraction
+            (re.compile(r"\b24/7\b"), lambda m: "twenty four seven"),
             # fractions (not dates/units)
             (re.compile(r"(?<![\d/.])(\d+)/(\d+)(?![\d/.])"),
              lambda m: en_fraction(int(m.group(1)), int(m.group(2)))),
+            # decades: 1980s → nineteen eighties, 1900s → nineteen
+            # hundreds, 2000s → two thousands, 2010s → twenty tens
+            (re.compile(r"\b(1[0-9]|20)([0-9]0|00)s\b"),
+             lambda m: ("two thousands" if m.group(0) == "2000s" else
+                        en_int(int(m.group(1))) + " " +
+                        ("hundreds" if m.group(2) == "00" else
+                         _EN_DECADE[m.group(2)]))),
             # years
             (re.compile(r"\b(1[0-9]{3}|20[0-9]{2})\b"),
              lambda m: en_year(int(m.group(0)))),

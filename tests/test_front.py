@@ -307,6 +307,9 @@ def test_normalizer_golden_zh(norm):
         "投资€1.5万": "投资一点五万欧元",
         "看了2集电视剧": "看了两集电视剧",
         "2月2日2点开播2场": "二月二日两点开播两场",
+        # magnitude-suffixed counts, year ranges with a single 年
+        "共有10万+粉丝": "共有十万多粉丝",
+        "2023-2025年规划": "二零二三到二零二五年规划",
     }
     assert len(golden) >= 80, len(golden)
     for src, want in golden.items():
@@ -360,6 +363,10 @@ def test_normalizer_golden_en(norm):
         # euro/pound money incl. grouped digits and singular
         "It costs €1,234": "It costs one thousand two hundred thirty four euros",
         "about €1 and £2": "about one euro and two pounds",
+        # decades and the 24/7 idiom
+        "born in the 1980s": "born in the nineteen eighties",
+        "the 1900s and 2000s": "the nineteen hundreds and two thousands",
+        "open 24/7 here": "open twenty four seven here",
     }
     assert len(golden) >= 30, len(golden)
     for src, want in golden.items():
