@@ -294,7 +294,7 @@ class ZhNormalizer:
             # ID/account numbers after an explicit number-word read
             # digit-by-digit (1 → 幺, the phone convention): 工号1024 →
             # 工号幺零二四; runs before the phone/cardinal rules
-            (re.compile(r"((?:号码|编号|账号|卡号|工号|学号|订单号|房间号"
+            (re.compile(r"((?:号码|编号|账号|卡号|工号|学号|订单号|房间号|房号"
                         r"|身份证号?|验证码|邮编|车牌号|QQ号?)(?:[是为:：]|是)?"
                         r"\s*)(\d{3,})"),
              lambda m: m.group(1) + zh_digits_phone(m.group(2))),
@@ -336,7 +336,7 @@ class ZhNormalizer:
             (re.compile(rf"({n})\s*km/h"), lambda m: zh_number(m.group(1)) + "千米每小时"),
             (re.compile(rf"({n})\s*m/s"), lambda m: zh_number(m.group(1)) + "米每秒"),
             (re.compile(rf"({n})\s*(?:km²|km2)"), lambda m: zh_number(m.group(1)) + "平方千米"),
-            (re.compile(rf"({n})\s*(?:m²|m2)(?![a-z])"), lambda m: zh_number(m.group(1)) + "平方米"),
+            (re.compile(rf"({n})\s*(?:m²|m2|㎡)(?![a-z])"), lambda m: zh_number(m.group(1)) + "平方米"),
             (re.compile(rf"({n})\s*kg"), lambda m: zh_number(m.group(1)) + "千克"),
             (re.compile(rf"({n})\s*km"), lambda m: zh_number(m.group(1)) + "千米"),
             (re.compile(rf"({n})\s*cm"), lambda m: zh_number(m.group(1)) + "厘米"),
@@ -349,8 +349,9 @@ class ZhNormalizer:
              lambda m: zh_int(int(m.group(2))) + "分之" + zh_int(int(m.group(1)))),
             # ranges 3~5 / 3-5 (phones already consumed)
             (re.compile(rf"({n})\s*[~～\-—]\s*({n})"), rng),
-            # "3000+" → 三千多, incl. magnitude suffixes (10万+ → 十万多)
-            (re.compile(rf"({n})\s*(万亿|亿|万)?\s*\+"),
+            # "3000+" → 三千多, incl. magnitude suffixes (10万+ → 十万多);
+            # a digit after the + is arithmetic (1+1), not a count suffix
+            (re.compile(rf"({n})\s*(万亿|亿|万)?\s*\+(?!\s*\d)"),
              lambda m: zh_number(m.group(1)) + (m.group(2) or "") + "多"),
             # measure-word idiom: a lone 2 before a measure word reads 两
             # (2个人 → 两个人; 第2/12个/2.5 are excluded by the guards)
@@ -487,6 +488,9 @@ class EnNormalizer:
             # ordinals
             (re.compile(r"\b(\d+)\s*(st|nd|rd|th)\b", re.IGNORECASE),
              lambda m: en_ordinal(int(m.group(1)))),
+            # "+"-suffixed counts: 50+ cars → fifty plus cars
+            (re.compile(rf"({n})\s*\+"),
+             lambda m: en_number(m.group(1)) + " plus"),
             # the idiom 24/7 is not a fraction
             (re.compile(r"\b24/7\b"), lambda m: "twenty four seven"),
             # fractions (not dates/units)

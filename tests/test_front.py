@@ -310,6 +310,9 @@ def test_normalizer_golden_zh(norm):
         # magnitude-suffixed counts, year ranges with a single 年
         "共有10万+粉丝": "共有十万多粉丝",
         "2023-2025年规划": "二零二三到二零二五年规划",
+        # ㎡ unit sign; arithmetic + is not a count suffix
+        "面积80㎡": "面积八十平方米",
+        "1+1=2": "一+一=二",
     }
     assert len(golden) >= 80, len(golden)
     for src, want in golden.items():
@@ -367,6 +370,7 @@ def test_normalizer_golden_en(norm):
         "born in the 1980s": "born in the nineteen eighties",
         "the 1900s and 2000s": "the nineteen hundreds and two thousands",
         "open 24/7 here": "open twenty four seven here",
+        "He owns 50+ cars": "He owns fifty plus cars",
     }
     assert len(golden) >= 30, len(golden)
     for src, want in golden.items():
